@@ -1,0 +1,143 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** One committed snapshot of a [[LakeTable]].
+  *
+  * @param version        monotonically increasing snapshot id
+  * @param batchId        streaming micro-batch id that produced it (-1 for batch jobs)
+  * @param txidWatermark  highest change-event _txid applied so far — the
+  *                       exactly-once high-watermark (reference analogue:
+  *                       _etag state extraction for snapshot diffing,
+  *                       /root/reference/lib/backup_state.js:135-143)
+  * @param schemaJson     table schema (Spark DataType JSON) as of this commit —
+  *                       schema evolution = new commit with a wider schema
+  * @param buckets        bucket id -> data directory (relative to table root)
+  *                       holding that bucket's current rows; untouched buckets
+  *                       carry forward across commits so MERGE only rewrites
+  *                       affected buckets (partition-pruned upsert)
+  * @param rowCounts      bucket id -> row count (lineage/metrics)
+  * @param metrics        free-form counters for the commit (applied/deleted/...)
+  */
+case class Commit(
+    version: Long,
+    batchId: Long,
+    txidWatermark: Long,
+    schemaJson: String,
+    buckets: Map[String, String],
+    rowCounts: Map[String, Long],
+    metrics: Map[String, Long]) {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+}
+
+/** An Iceberg-*semantics* table over plain Parquet + a JSON commit log.
+  *
+  * No Iceberg/Delta jars exist in this sandbox, so the transactional
+  * behaviors the north rule needs are implemented directly:
+  *   - snapshot isolation: readers pin the latest commit file; data files
+  *     are immutable; a commit is a single atomic rename;
+  *   - atomic commits: write `_commits/.tmp-*` then ATOMIC_MOVE to
+  *     `_commits/%012d.json` (fails if a concurrent writer won);
+  *   - schema evolution: every commit records its schema; readers apply
+  *     the latest schema over all live files (older files lack new
+  *     columns → read as null);
+  *   - exactly-once: `txidWatermark` + `batchId` let a replayed batch
+  *     detect it was already applied and no-op;
+  *   - layout: rows hash-bucketed by conv_id into `numBuckets` buckets,
+  *     so an upsert touches only the buckets its keys hash to, and a
+  *     point lookup prunes to one bucket.
+  *
+  * At 100 TB the same design holds: buckets are the unit of rewrite and
+  * pruning (set numBuckets ~ cluster parallelism × small factor), the
+  * commit log stays tiny (one JSON per commit, O(numBuckets) entries).
+  */
+class LakeTable(val location: String, val numBuckets: Int = 64) {
+  private implicit val fmts: Formats = DefaultFormats
+  private val root: Path = Paths.get(location)
+  private val commitsDir: Path = root.resolve("_commits")
+
+  def bucketCol(conv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(conv), lit(numBuckets.toLong)).cast("int")
+
+  def currentCommit(): Option[Commit] = {
+    if (!Files.isDirectory(commitsDir)) return None
+    val latest = Files.list(commitsDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .toSeq.sortBy(_.getFileName.toString).lastOption
+    latest.map(p => Serialization.read[Commit](Files.readString(p)))
+  }
+
+  def txidWatermark: Long = currentCommit().map(_.txidWatermark).getOrElse(0L)
+
+  /** Read the table at its latest snapshot under the latest schema. */
+  def read(spark: SparkSession): DataFrame = currentCommit() match {
+    case None => spark.emptyDataFrame
+    case Some(c) => readCommit(spark, c, c.buckets.keys.map(_.toInt).toSeq)
+  }
+
+  /** Snapshot read pruned to the given buckets (MERGE reads only the
+    * buckets the incoming keys hash to). */
+  def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame =
+    currentCommit() match {
+      case None => spark.emptyDataFrame
+      case Some(c) => readCommit(spark, c, buckets)
+    }
+
+  private def readCommit(spark: SparkSession, c: Commit, buckets: Seq[Int]): DataFrame = {
+    val live = buckets.flatMap(b => c.buckets.get(b.toString))
+      .map(rel => root.resolve(rel).toString)
+    if (live.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], c.schema)
+    // latest schema over all files: evolution-added columns read as null
+    else spark.read.schema(c.schema).parquet(live: _*)
+  }
+
+  def nextVersion: Long = currentCommit().map(_.version + 1).getOrElse(1L)
+
+  /** Atomically publish a new snapshot. `rewritten` are the buckets this
+    * commit touched: Some(relativeDir) replaces the bucket's data, None
+    * removes the bucket entirely (every row deleted). All other buckets
+    * carry forward from the previous commit. */
+  def commit(
+      schema: StructType,
+      rewritten: Map[Int, Option[String]],
+      newRowCounts: Map[Int, Long],
+      txidWatermark: Long,
+      batchId: Long,
+      metrics: Map[String, Long]): Commit = {
+    Files.createDirectories(commitsDir)
+    val prev = currentCommit()
+    val version = prev.map(_.version + 1).getOrElse(1L)
+    val carried = prev.map(_.buckets).getOrElse(Map.empty)
+    val carriedCounts = prev.map(_.rowCounts).getOrElse(Map.empty)
+    val dropped = rewritten.collect { case (k, None) => k.toString }.toSet
+    val c = Commit(
+      version, batchId, txidWatermark, schema.json,
+      (carried -- dropped) ++ rewritten.collect { case (k, Some(v)) => k.toString -> v },
+      (carriedCounts -- dropped) ++ newRowCounts.map { case (k, v) => k.toString -> v },
+      metrics)
+    val tmp = Files.createTempFile(commitsDir, ".tmp-", ".json")
+    Files.writeString(tmp, Serialization.write(c))
+    val target = commitsDir.resolve(f"$version%012d.json")
+    // ATOMIC_MOVE: exactly one writer wins a version; a loser throws and
+    // the caller re-reads the log and retries (single-writer here).
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    c
+  }
+
+  /** True if a streaming micro-batch with this id was already committed
+    * (crash-replay idempotence check). */
+  def hasBatch(batchId: Long): Boolean = {
+    if (!Files.isDirectory(commitsDir) || batchId < 0) return false
+    Files.list(commitsDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .exists(p => Serialization.read[Commit](Files.readString(p)).batchId == batchId)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc.CdcApply
+import graft.model.Corpus
+import graft.table.LakeTable
+
+class CdcApplySpec extends SparkSpec {
+
+  private def corpus(n: Long) =
+    Corpus.changeEvents(spark, n, nConvs = 50, maxTurns = 10)
+
+  private def finalPayload(t: LakeTable) =
+    t.read(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  test("single-batch replay matches the reference-semantics oracle") {
+    val events = corpus(2000)
+    val table = new LakeTable(tmpDir("single"), numBuckets = 16)
+    val stats = CdcApply.applyBatch(spark, table, Corpus.shuffled(events))
+    assert(stats.applied == events.count())
+    assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
+  }
+
+  test("multi-batch incremental replay matches the oracle") {
+    val events = corpus(3000)
+    val table = new LakeTable(tmpDir("multi"), numBuckets = 16)
+    CdcApply.replay(spark, table, events, nBatches = 5)
+    assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
+  }
+
+  test("overlapping replay is idempotent (exactly-once via txid watermark)") {
+    val events = corpus(1500)
+    val table = new LakeTable(tmpDir("overlap"), numBuckets = 16)
+    val b1 = events.where(col("_txid") <= 1000)
+    val b2 = events.where(col("_txid") > 500) // overlaps 501..1000
+    CdcApply.applyBatch(spark, table, b1)
+    CdcApply.applyBatch(spark, table, b2)
+    // replay everything again — must be a no-op
+    val s3 = CdcApply.applyBatch(spark, table, events)
+    assert(s3.applied == 0)
+    assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
+  }
+
+  test("batchId replay short-circuits") {
+    val events = corpus(500)
+    val table = new LakeTable(tmpDir("batchid"), numBuckets = 8)
+    CdcApply.applyBatch(spark, table, events, batchId = 7)
+    val again = CdcApply.applyBatch(spark, table, events, batchId = 7)
+    assert(again.skippedReplay)
+  }
+
+  test("schema evolution: tool column absent in early batches, widened later") {
+    val events = corpus(2000)
+    val early = events.where(col("_txid") <= 1000).drop("tool")
+    val late = events.where(col("_txid") > 1000)
+    val table = new LakeTable(tmpDir("evolve"), numBuckets = 16)
+    val s1 = CdcApply.applyBatch(spark, table, early)
+    assert(!table.currentCommit().get.schema.fieldNames.contains("tool"))
+    CdcApply.applyBatch(spark, table, late)
+    assert(table.currentCommit().get.schema.fieldNames.contains("tool"))
+    assert(s1.version == 1)
+    // oracle over the same effective input: early events had no tool
+    val oracleInput = events.withColumn("tool",
+      when(col("_txid") <= 1000, lit(null).cast("string")).otherwise(col("tool")))
+    assertSameRows(finalPayload(table), Corpus.oracleFinalState(oracleInput))
+  }
+
+  test("deletes remove keys; fully-deleted buckets drop out of the snapshot") {
+    import spark.implicits._
+    val ins = Seq(
+      (1L, "update", "e1", "convA", 0, "user", "hello", null: String, java.sql.Timestamp.valueOf("2014-03-11 00:00:01")),
+      (2L, "update", "e2", "convB", 0, "user", "world", null: String, java.sql.Timestamp.valueOf("2014-03-11 00:00:02")))
+      .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val del = Seq(
+      (3L, "delete", "e3", "convA", 0, null: String, null: String, null: String, null: java.sql.Timestamp))
+      .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val table = new LakeTable(tmpDir("delete"), numBuckets = 4)
+    CdcApply.applyBatch(spark, table, ins)
+    CdcApply.applyBatch(spark, table, del)
+    val rows = finalPayload(table).collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "convB")
+  }
+
+  test("duplicated txids within a batch collapse to one application") {
+    val events = corpus(1000) // corpus re-emits every 37th txid verbatim
+    assert(events.count() > events.select("_txid").distinct().count())
+    val table = new LakeTable(tmpDir("dups"), numBuckets = 8)
+    CdcApply.applyBatch(spark, table, events)
+    val st = finalPayload(table)
+    assert(st.groupBy("conv_id", "turn_idx").count()
+      .where(col("count") > 1).count() == 0)
+    assertSameRows(st, Corpus.oracleFinalState(events))
+  }
+
+  test("bucket pruning: second batch touching one conv rewrites few buckets") {
+    val events = corpus(2000)
+    val table = new LakeTable(tmpDir("prune"), numBuckets = 16)
+    CdcApply.applyBatch(spark, table, events)
+    import spark.implicits._
+    val one = Seq((999999L, "update", "ee", "conv00000001", 0, "user", "patch",
+      null: String, java.sql.Timestamp.valueOf("2014-03-12 00:00:00")))
+      .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val s = CdcApply.applyBatch(spark, table, one)
+    assert(s.bucketsTouched == 1)
+    assert(finalPayload(table).where($"text" === "patch").count() == 1)
+  }
+}
