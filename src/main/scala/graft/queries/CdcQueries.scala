@@ -1,0 +1,121 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.CdcApply
+import graft.table.LakeTable
+
+/** CDC queries the driver can check against a DuckDB oracle: the events
+  * table is reinterpreted as a change-event stream — key = (user_id,
+  * event_type), version = event_id, delete when value < 5 — replayed
+  * through the REAL engine (LakeTable + CdcApply), and the final table
+  * state must equal the oracle's direct "last event wins" SQL fold.
+  * This is the north-rule correctness check wired into the driver's
+  * own gate (reference analogue: final PostgreSQL table state after
+  * loading the last snapshot).
+  */
+object CdcQueries {
+  import Tables.t
+
+  /** Map the driver's events table onto the change-event envelope. */
+  def asChangeEvents(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").select(
+      (col("event_id") + 1L).as("_txid"),
+      when(col("value") < 5.0, "delete").otherwise("update").as("_op"),
+      substring(md5(concat_ws("|", col("user_id"), col("event_type"),
+        col("value").cast("string"))), 1, 8).as("_etag"),
+      col("user_id").cast("string").as("conv_id"),
+      // stable small int per event_type — the "turn" within the key
+      (length(col("event_type")) * 7 + ascii(col("event_type"))).cast("int").as("turn_idx"),
+      col("user_id"), col("event_type"), col("value"), col("ts"))
+
+  private def scratch(name: String): String = {
+    val base = Paths.get("/root/repo/target/scratch")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, name).toString
+  }
+
+  private def replayThenRead(s: SparkSession, d: String, nBatches: Int): DataFrame = {
+    val table = new LakeTable(scratch(s"cdc$nBatches-"), numBuckets = 16)
+    CdcApply.replay(s, table, asChangeEvents(s, d), nBatches)
+    table.read(s).select(
+      col("user_id"), col("event_type"), col("value"), col("ts"),
+      (col("_txid") - 1L).as("event_id"))
+  }
+
+  private val lastWriterOracle: String =
+    """SELECT user_id, event_type, value, ts, event_id FROM (
+      SELECT user_id, event_type, value, ts, event_id,
+        row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+      FROM events) WHERE rn = 1 AND value >= 5.0"""
+
+  val defs: Seq[QueryDef] = Seq(
+    // pure-SQL expression of "latest event wins per key" (window §2.8)
+    QueryDef("q14_cdc_last_writer_sql",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1 && col("value") >= 5.0)
+          .select("user_id", "event_type", "value", "ts", "event_id")
+      },
+      Some(lastWriterOracle)),
+
+    // the real engine, single batch
+    QueryDef("q15_cdc_replay_engine",
+      (s, d) => replayThenRead(s, d, 1), Some(lastWriterOracle)),
+
+    // the real engine, incremental (4 commits, bucket-pruned merges)
+    QueryDef("q16_cdc_replay_batches",
+      (s, d) => replayThenRead(s, d, 4), Some(lastWriterOracle)),
+
+    // snapshot diff by etag (reference D5: /root/reference/manta/dc_diff.sh):
+    // keys whose latest content in the 2nd half differs from the 1st half
+    QueryDef("q17_snapshot_diff",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val mid = 15L // days: split the month of events at 2024-01-15
+        val cut = lit("2024-01-15").cast("timestamp")
+        def latest(df: DataFrame) = {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
+          df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+            .select(col("user_id"), col("event_type"),
+              substring(md5(concat_ws("|", col("user_id"), col("event_type"),
+                col("value").cast("string"))), 1, 8).as("_etag"))
+        }
+        val before = latest(ev.where(col("ts") < cut))
+        val after = latest(ev)
+        after.join(before, Seq("user_id", "event_type", "_etag"), "left_anti")
+          .groupBy("event_type").agg(count(lit(1)).as("n_changed"))
+      },
+      Some("""WITH latest_before AS (
+          SELECT user_id, event_type,
+            substr(md5(concat_ws('|', user_id, event_type, CAST(value AS VARCHAR))), 1, 8) AS _etag
+          FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) rn
+                FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+        latest_after AS (
+          SELECT user_id, event_type,
+            substr(md5(concat_ws('|', user_id, event_type, CAST(value AS VARCHAR))), 1, 8) AS _etag
+          FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) rn
+                FROM events) WHERE rn = 1)
+        SELECT a.event_type, count(*) AS n_changed FROM latest_after a
+        WHERE NOT EXISTS (SELECT 1 FROM latest_before b
+          WHERE b.user_id = a.user_id AND b.event_type = a.event_type AND b._etag = a._etag)
+        GROUP BY a.event_type""")),
+
+    // exact dedup by content hash (reference D1/K1: md5 row hash + uniq)
+    QueryDef("q18_dedup_exact",
+      (s, d) => t(s, d, "events")
+        .withColumn("_row_hash", md5(concat_ws("|",
+          col("user_id"), col("event_type"), col("value").cast("string"), col("props"))))
+        .groupBy("_row_hash")
+        .agg(min(col("event_id")).as("keep_event_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(concat_ws('|', user_id, event_type, CAST(value AS VARCHAR), props)) AS _row_hash,
+        min(event_id) AS keep_event_id, count(*) AS n_copies
+        FROM events GROUP BY 1""")))
+}
