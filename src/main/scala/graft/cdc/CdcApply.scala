@@ -25,28 +25,35 @@ case class ApplyStats(
   * snapshot of the target [[LakeTable]].
   *
   * Pipeline (SURVEY.md §3.4; each step anchored to a reference op):
-  *   1. exactly-once guards — batch-id replay check + `_txid >
-  *      watermark` filter (reference: _etag snapshot diffing,
-  *      /root/reference/manta/pull_update.sh:35-42);
-  *   2. within-batch collapse — latest txid wins per (conv_id,
+  *   1. within-batch collapse — latest txid wins per (conv_id,
   *      turn_idx) via row_number window (reference: `sort -r | uniq`
   *      idempotent dedupe, /root/reference/manta/dc_inputs_2b.sh:33-35);
-  *   3. bucket pruning — only the hash-buckets the incoming keys map to
+  *   2. bucket pruning — only the hash-buckets the incoming keys map to
   *      are read and rewritten (reference analogue: per-split map
   *      tasks, /root/reference/manta/dc_inputs.sh:57-66);
-  *   4. merge — left-anti survivors ∪ upserts (MERGE INTO semantics,
-  *      delete = key vanishes);
+  *   3. per-key version gate — an event takes effect only if its _txid
+  *      exceeds the stored row's _txid. Deletes become TOMBSTONES
+  *      (_deleted=true rows), so a stale update arriving after a newer
+  *      delete cannot resurrect the key. This makes the final state a
+  *      pure function of the event set — independent of arrival order,
+  *      duplication, or batch boundaries (exactly-once = idempotent
+  *      keyed upsert; reference analogue: `_etag` change detection,
+  *      /root/reference/lib/backup_state.js:135-143);
+  *   4. merge — survivors (left-anti) ∪ effective events;
   *   5. salted repartition before the write so one hot conversation
   *      cannot serialize a whole bucket into one task (north-rule skew
   *      mandate — the reference has no skew handling, SURVEY.md §4.1);
   *   6. atomic commit with txid high-watermark + per-bucket lineage
-  *      counts.
+  *      counts. An entirely-ineffective batch (pure replay) commits
+  *      nothing.
   *
-  * Scale notes: the only full pass over the *batch* is one agg + one
-  * window shuffle keyed (conv_id, turn_idx) — fine-grained, so conv-level
-  * skew doesn't hit it. The target table is touched only on affected
-  * buckets; survivors↔upserts join is keyed on the merge key and AQE
-  * may broadcast the small side. Nothing scans unaffected data.
+  * Scale notes: the only full pass over the *batch* is one window
+  * shuffle keyed (conv_id, turn_idx) — fine-grained, so conv-level skew
+  * doesn't hit it. The target table is touched only on affected
+  * buckets; the version-gate and survivor joins are keyed on the merge
+  * key and AQE may broadcast the small side. Nothing scans unaffected
+  * data. Tombstones accumulate only for deleted keys; compact() can
+  * drop them once no older txids can arrive (watermark-bounded).
   */
 object CdcApply {
 
@@ -71,10 +78,12 @@ object CdcApply {
     df.select(cols.toSeq: _*)
   }
 
-  /** Columns stored in the table: merge keys + payload + CDC metadata. */
+  /** Columns stored in the table: merge keys + payload + CDC metadata
+    * (`_deleted` marks tombstones; readers filter them). */
   private def storedSchema(payload: StructType): StructType =
     StructType(payload.fields ++ Seq(
-      StructField("_txid", LongType), StructField("_etag", StringType)))
+      StructField("_txid", LongType), StructField("_etag", StringType),
+      StructField("_deleted", BooleanType)))
 
   def applyBatch(
       spark: SparkSession,
@@ -83,31 +92,14 @@ object CdcApply {
       batchId: Long = -1L,
       saltBuckets: Int = SaltBuckets): ApplyStats = {
     val prev = table.currentCommit()
+    val prevWm = prev.map(_.txidWatermark).getOrElse(0L)
     if (batchId >= 0 && table.hasBatch(batchId))
       return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
-        skippedReplay = true, table.txidWatermark, 0)
-
-    val wm = prev.map(_.txidWatermark).getOrElse(0L)
-    // exactly-once: txids at or below the committed watermark were
-    // already applied — a replayed/overlapping batch degrades to the
-    // unseen suffix. (Requires txid-ordered batch boundaries, which the
-    // changelog tail guarantees; arbitrary late txids below the
-    // watermark are resolved by the same rule the reference uses for
-    // snapshot diffs: already-seen etags are skipped.)
-    val fresh = events.where(col("_txid") > wm)
-
-    val firstAgg = fresh.agg(
-      count(lit(1)).as("n"), max(col("_txid")).as("maxTx"),
-      sum(when(col("_op") === "delete", 1L).otherwise(0L)).as("dels")).head()
-    val nFresh = firstAgg.getAs[Long]("n")
-    if (nFresh == 0L)
-      return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
-        skippedReplay = false, wm, 0)
-    val maxTx = firstAgg.getAs[Long]("maxTx")
+        skippedReplay = true, prevWm, 0)
 
     // schema evolution from the event envelope's payload columns
-    val envelope = Set("_txid", "_op", "_etag", "_bucket")
-    val payloadIn = StructType(fresh.schema.fields.filterNot(f => envelope(f.name)))
+    val envelope = Set("_txid", "_op", "_etag", "_bucket", "_deleted")
+    val payloadIn = StructType(events.schema.fields.filterNot(f => envelope(f.name)))
     val prevPayload = prev.map(c => StructType(
       c.schema.fields.filterNot(f => envelope(f.name)))).getOrElse(
       StructType(Seq(
@@ -116,31 +108,62 @@ object CdcApply {
     val payload = evolveSchema(prevPayload, payloadIn)
     val schema = storedSchema(payload)
 
-    // latest event wins per key within the batch (window §2.8);
+    // 1. latest event wins per key within the batch (window §2.8);
     // _etag tiebreak only for determinism under duplicated txids
     val w = Window.partitionBy(Model.MergeKeys.map(col): _*)
       .orderBy(col("_txid").desc, col("_etag").desc_nulls_last)
-    val winners = fresh
+    val winners = events
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
       .withColumn("_bucket", table.bucketCol(col("conv_id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // 2. bucket pruning: ≤ numBuckets values — tiny collect
       val touched = winners.select("_bucket").distinct()
-        .collect().map(_.getInt(0)).sorted // ≤ numBuckets values — tiny
-      val upserts = align(
-        winners.where(col("_op") =!= "delete"), schema)
-        .withColumn("_bucket", table.bucketCol(col("conv_id")))
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val target = align(table.readBuckets(spark, touched), schema)
 
-      val target = align(
-        table.readBuckets(spark, touched.toSeq), schema)
-        .withColumn("_bucket", table.bucketCol(col("conv_id")))
+      // 3. per-key version gate: effect only if newer than stored row
+      // (tombstones included in `target`, so delete-then-stale-update
+      // resolves correctly)
+      val tgtVersions = target.select(
+        col("conv_id"), col("turn_idx"), col("_txid").as("__tgt_txid"))
+      val effective = winners
+        .join(tgtVersions, Model.MergeKeys, "left")
+        .where(col("__tgt_txid").isNull || col("_txid") > col("__tgt_txid"))
+        .drop("__tgt_txid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val effAgg = effective.agg(
+        count(lit(1)).as("n"), max(col("_txid")).as("maxTx"),
+        sum(when(col("_op") === "delete", 1L).otherwise(0L)).as("dels")).head()
+      val nEff = effAgg.getAs[Long]("n")
+      if (nEff == 0L) {
+        effective.unpersist()
+        return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
+          skippedReplay = false, prevWm, 0)
+      }
+      val maxTx = math.max(prevWm, effAgg.getAs[Long]("maxTx"))
+      val nDeletes = effAgg.getAs[Long]("dels")
+
+      // 4. merge: untouched target rows ∪ effective events (deletes
+      // materialize as tombstones with payload nulled)
       val survivors = target.join(
-        winners.select(Model.MergeKeys.map(col): _*),
-        Model.MergeKeys, "left_anti")
+        effective.select(Model.MergeKeys.map(col): _*), Model.MergeKeys, "left_anti")
+      val keyCols = Model.MergeKeys.toSet
+      val isDel = effective.col("_op") === "delete"
+      val upsertRows = effective.select(schema.fields.map { f =>
+        if (f.name == "_deleted") isDel.as("_deleted")
+        else if (keyCols(f.name) || f.name == "_txid" || f.name == "_etag")
+          col(f.name).cast(f.dataType).as(f.name)
+        else if (effective.columns.contains(f.name))
+          when(isDel, lit(null)).otherwise(col(f.name)).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
 
-      val merged = survivors.unionByName(upserts)
-        // salt: hot conv_ids spread across tasks inside their bucket
+      val merged = survivors.unionByName(upsertRows)
+        .withColumn("_bucket", table.bucketCol(col("conv_id")))
+        // 5. salt: hot conv_ids spread across tasks inside their bucket
         .repartition(col("_bucket"),
           pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets.toLong)))
 
@@ -149,16 +172,13 @@ object CdcApply {
       val outDir = Paths.get(table.location).resolve(rel)
       merged.write.mode("overwrite").partitionBy("_bucket").parquet(outDir.toString)
 
-      // lineage: per-bucket row counts of the rewritten buckets
+      // 6. lineage: per-bucket row counts of the rewritten buckets
       // (metadata-cheap: zero-column scan over just-written files)
       val wroteData = {
+        import scala.jdk.CollectionConverters._
         val s = Files.list(outDir)
-        try s.iterator().hasNext && {
-          val s2 = Files.list(outDir)
-          try s2.filter(p => p.getFileName.toString.startsWith("_bucket="))
-            .iterator().hasNext
-          finally s2.close()
-        } finally s.close()
+        try s.iterator().asScala.exists(_.getFileName.toString.startsWith("_bucket="))
+        finally s.close()
       }
       val countsByBucket: Map[Int, Long] =
         if (wroteData)
@@ -170,12 +190,11 @@ object CdcApply {
         b -> (if (countsByBucket.contains(b)) Some(s"$rel/_bucket=$b") else None)
       }.toMap
 
-      val nUpserts = upserts.count()
-      val nDeletes = firstAgg.getAs[Long]("dels")
       table.commit(schema, rewritten, countsByBucket, maxTx, batchId, Map(
-        "events" -> nFresh, "upserts" -> nUpserts, "deletes" -> nDeletes,
+        "events" -> nEff, "upserts" -> (nEff - nDeletes), "deletes" -> nDeletes,
         "bucketsTouched" -> touched.length.toLong))
-      ApplyStats(version, nFresh, nUpserts, nDeletes,
+      effective.unpersist()
+      ApplyStats(version, nEff, nEff - nDeletes, nDeletes,
         skippedReplay = false, maxTx, touched.length)
     } finally winners.unpersist()
   }

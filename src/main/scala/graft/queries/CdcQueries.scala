@@ -108,6 +108,23 @@ object CdcQueries {
           WHERE b.user_id = a.user_id AND b.event_type = a.event_type AND b._etag = a._etag)
         GROUP BY a.event_type""")),
 
+    // the full Structured Streaming tail: events → NDJSON changelog →
+    // readStream → foreachBatch merge-apply → final table state
+    QueryDef("q28_cdc_stream_replay",
+      (s, d) => {
+        val logDir = scratch("streamlog-")
+        graft.streaming.CdcStream.writeSegment(
+          asChangeEvents(s, d), logDir, parts = 4)
+        val table = new LakeTable(scratch("streamtbl-"), numBuckets = 16)
+        graft.streaming.CdcStream.runOnce(s, logDir, table,
+          scratch("streamckpt-"), maxFilesPerTrigger = 2)
+        table.read(s).select(
+          col("user_id").cast("bigint").as("user_id"),
+          col("event_type"), col("value"), col("ts"),
+          (col("_txid") - 1L).as("event_id"))
+      },
+      Some(lastWriterOracle)),
+
     // exact dedup by content hash (reference D1/K1: md5 row hash + uniq)
     QueryDef("q18_dedup_exact",
       (s, d) => t(s, d, "events")

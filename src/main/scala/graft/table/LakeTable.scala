@@ -76,14 +76,23 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
 
   def txidWatermark: Long = currentCommit().map(_.txidWatermark).getOrElse(0L)
 
-  /** Read the table at its latest snapshot under the latest schema. */
-  def read(spark: SparkSession): DataFrame = currentCommit() match {
+  /** Read the live rows of the latest snapshot (tombstones filtered). */
+  def read(spark: SparkSession): DataFrame = {
+    val raw = readRaw(spark)
+    if (raw.columns.contains("_deleted"))
+      raw.where(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
+    else raw
+  }
+
+  /** Read the latest snapshot INCLUDING delete tombstones (the merge
+    * path needs them for the per-key version gate). */
+  def readRaw(spark: SparkSession): DataFrame = currentCommit() match {
     case None => spark.emptyDataFrame
     case Some(c) => readCommit(spark, c, c.buckets.keys.map(_.toInt).toSeq)
   }
 
   /** Snapshot read pruned to the given buckets (MERGE reads only the
-    * buckets the incoming keys hash to). */
+    * buckets the incoming keys hash to); tombstones included. */
   def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame =
     currentCommit() match {
       case None => spark.emptyDataFrame

@@ -18,7 +18,9 @@ class CdcApplySpec extends SparkSpec {
     val events = corpus(2000)
     val table = new LakeTable(tmpDir("single"), numBuckets = 16)
     val stats = CdcApply.applyBatch(spark, table, Corpus.shuffled(events))
-    assert(stats.applied == events.count())
+    // `applied` counts effective per-key events: on an empty table every
+    // distinct key's winner takes effect
+    assert(stats.applied == events.select("conv_id", "turn_idx").distinct().count())
     assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
   }
 
@@ -91,6 +93,39 @@ class CdcApplySpec extends SparkSpec {
     assert(st.groupBy("conv_id", "turn_idx").count()
       .where(col("count") > 1).count() == 0)
     assertSameRows(st, Corpus.oracleFinalState(events))
+  }
+
+  test("out-of-order segments: applying newer txid ranges FIRST still converges") {
+    val events = corpus(2000)
+    val table = new LakeTable(tmpDir("ooo"), numBuckets = 16)
+    // segments arrive 3,1,2 — per-key version gate must sort it out
+    CdcApply.applyBatch(spark, table, events.where(col("_txid") > 1400))
+    CdcApply.applyBatch(spark, table, events.where(col("_txid") <= 700))
+    CdcApply.applyBatch(spark, table,
+      events.where(col("_txid") > 700 && col("_txid") <= 1400))
+    assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
+  }
+
+  test("stale update after newer delete cannot resurrect the key (tombstone)") {
+    import spark.implicits._
+    def ev(txid: Long, op: String, text: String) =
+      Seq((txid, op, s"e$txid", "convX", 1,
+        if (op == "delete") null else "user",
+        if (op == "delete") null else text,
+        null: String,
+        if (op == "delete") null else java.sql.Timestamp.valueOf("2014-03-11 00:00:01")))
+        .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val table = new LakeTable(tmpDir("tomb"), numBuckets = 4)
+    CdcApply.applyBatch(spark, table, ev(10, "update", "v10"))
+    CdcApply.applyBatch(spark, table, ev(20, "delete", ""))
+    // stale update (txid 15 < delete txid 20) arrives late
+    val s = CdcApply.applyBatch(spark, table, ev(15, "update", "v15-stale"))
+    assert(s.applied == 0)
+    assert(finalPayload(table).count() == 0)
+    // but a GENUINELY newer update revives it
+    CdcApply.applyBatch(spark, table, ev(30, "update", "v30"))
+    val rows = finalPayload(table).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("text") == "v30")
   }
 
   test("bucket pruning: second batch touching one conv rewrites few buckets") {
