@@ -12,7 +12,8 @@ object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ JsonQueries.defs ++ CdcQueries.defs ++
-      PowerQueries.defs ++ TextQueries.defs ++ InferQueries.defs
+      PowerQueries.defs ++ TextQueries.defs ++ InferQueries.defs ++
+      MlQueries.defs
 
   /** Flagship: full CDC replay through the real engine on sf0.001. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,56 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video ride through the
+  * pipeline as opaque `binary` columns with typed metadata structs.
+  *
+  * The actual codec step is a STUB — no image/audio libraries exist in
+  * this container — implemented as a deterministic fake that derives
+  * plausible metadata from the bytes (clearly marked). Everything
+  * around it is real Spark plumbing: binary columns, struct schemas,
+  * explode-based frame sampling, partition-friendly batch shapes. A
+  * production deployment swaps `fakeDecode*` for a real codec behind
+  * the same column signatures (e.g. a mapInPandas/mapPartitions batch
+  * decoder), and none of the surrounding plan changes.
+  */
+object Multimodal {
+
+  /** Wrap text content as a fake payload blob (test-fixture generator:
+    * gives every row a binary column without external data). */
+  def asBlob(content: Column): Column = encode(content, "UTF-8")
+
+  /** STUB image decode: deterministic fake metadata from the bytes.
+    * Real impl: batch decoder over the binary column (same schema). */
+  def fakeDecodeImage(blob: Column): Column = struct(
+    octet_length(blob).as("n_bytes"),
+    (pmod(xxhash64(blob), lit(1920L)) + 1L).cast("int").as("width"),
+    (pmod(xxhash64(blob, lit(1)), lit(1080L)) + 1L).cast("int").as("height"),
+    element_at(array(lit("png"), lit("jpeg"), lit("webp")),
+      (pmod(xxhash64(blob, lit(2)), lit(3L)) + 1L).cast("int")).as("format"))
+
+  /** STUB resize: new dims, preserving aspect ratio metadata-side. */
+  def resizeMeta(meta: Column, maxSide: Int): Column = {
+    val w = meta.getField("width").cast("double")
+    val h = meta.getField("height").cast("double")
+    val scale = least(lit(1.0), lit(maxSide.toDouble) / greatest(w, h))
+    struct(
+      meta.getField("n_bytes").as("n_bytes"),
+      ceil(w * scale).cast("int").as("width"),
+      ceil(h * scale).cast("int").as("height"),
+      meta.getField("format").as("format"))
+  }
+
+  /** STUB video frame sampling: derive a deterministic frame count
+    * from the blob, emit one row per sampled frame index (stride
+    * sampling) — the real explode/partition shape of a frame pipeline. */
+  def sampleFrames(df: DataFrame, blobCol: String, idCol: String,
+      stride: Int): DataFrame = {
+    val nFrames = (pmod(xxhash64(col(blobCol)), lit(240L)) + 1L).cast("int")
+    df.select(col(idCol), nFrames.as("n_frames"),
+        posexplode(sequence(lit(0), nFrames - 1, lit(stride))))
+      .withColumnRenamed("pos", "sample_idx")
+      .withColumnRenamed("col", "frame_idx")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane LSH bucketed variant as the scale path. Vector math is
+  * higher-order column expressions in double precision — codegen'd,
+  * per-row, shuffle-free until the top-k/bucket step.
+  */
+object Vectors {
+
+  /** Elementwise dot product of two array columns, folded in doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * Queries are broadcast (small side); the corpus scan is one pass;
+    * per-query ranking is a window over the cross product. At 100 TB
+    * this is the verification path — the LSH variant is the serving
+    * path.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("cv"), col("qv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dimension d →
+    * a unit-free ±1 component from a hash (sign-random projections
+    * only need sign agreement, not Gaussian components). */
+  private def planeComponent(p: Int, d: Column): Column =
+    when(pmod(xxhash64(lit(p), d), lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Pack `planes` sign bits of random projections into an LSH bucket
+    * key for hash table `table` (a column, so all tables compute in one
+    * expression). Vectors in the same (table, bucket) are candidates. */
+  def lshBucket(vec: Column, planes: Int, table: Column): Column = {
+    val signs = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") *
+            when(pmod(xxhash64(table, p, i), lit(2L)) === 0L,
+              lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(
+      zip_with(signs, sequence(lit(0), lit(planes - 1)),
+        (s, i) => call_function("shiftleft", s, i)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** All L table buckets for a vector in one per-row expression:
+    * array of struct(tbl, bkt). */
+  def lshBuckets(vec: Column, planes: Int, tables: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)),
+      t => struct(t.cast("int").as("tbl"), lshBucket(vec, planes, t).as("bkt")))
+
+  /** ANN via multi-table random-hyperplane LSH: bucket the corpus and
+    * queries with L independent plane sets; a pair is a candidate if it
+    * collides in ANY table (recall ≈ 1-(1-p^planes)^L). Rank within
+    * candidates. `planes` trades bucket size vs selectivity; `tables`
+    * trades recall vs work — the standard production ANN shape. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 8, tables: Int = 8): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String) =
+      df.select(col(id), col(vec),
+          explode(lshBuckets(col(vec), planes, tables)).as("b"))
+        .select(col(id), col(vec), col("b.tbl"), col("b.bkt"))
+    val c = bucketed(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")),
+      "corpus_id", "cv")
+    val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv")
+    val candidates = c.join(broadcast(q), Seq("tbl", "bkt"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id", "cv", "qv")
+      .dropDuplicates("query_id", "corpus_id")
+    val scored = candidates.select(col("query_id"), col("corpus_id"),
+      cosine(col("cv"), col("qv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Multimodal, Similarity, Vectors}
+
+/** Training-data pipeline operators as driver queries: near-dup
+  * detection (MinHash+LSH, SimHash, exact n-gram Jaccard), embedding
+  * similarity search (brute-force + LSH), multimodal binary plumbing.
+  *
+  * The synthetic documents have no organic near-dups, so the dedup
+  * queries run over `withMutants`: the corpus unioned with
+  * deterministically mutated copies (one appended token) — every
+  * mutant pair (id, id+100000) is a known near-dup the operators must
+  * find. Queries whose semantics aren't reasonably SQL-expressible
+  * (minhash/simhash banding) omit the oracle; their correctness is
+  * asserted structurally in MlSpec (known mutant pairs recovered).
+  */
+object MlQueries {
+  import Tables.t
+
+  val MutantOffset = 100000L
+
+  def withMutants(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.select((col("doc_id") + MutantOffset).as("doc_id"),
+        concat(col("text"), lit(" mutated")).as("text")))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_minhash_lsh_neardups",
+      (s, d) => Similarity.minhashNearDups(
+        withMutants(t(s, d, "documents")), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.5),
+      None),
+
+    QueryDef("q31_simhash_neardups",
+      (s, d) => Similarity.simhashNearDups(
+        withMutants(t(s, d, "documents")), "doc_id", "text", maxHamming = 7),
+      None),
+
+    QueryDef("q32_exact_jaccard_verify",
+      (s, d) => {
+        val docs = withMutants(t(s, d, "documents"))
+        val candidates = Similarity.minhashNearDups(
+          docs, "doc_id", "text", threshold = 0.5)
+        Similarity.exactJaccard(docs, "doc_id", "text",
+          candidates.select("id_a", "id_b"))
+          .where(col("jaccard") >= 0.5)
+      },
+      None),
+
+    // brute-force cosine top-k — exact baseline, DuckDB-checkable
+    // (both engines left-fold the same doubles in the same order)
+    QueryDef("q33_ann_bruteforce",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Vectors.bruteForceTopK(e, e.where(col("vec_id") < 3),
+            "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("corpus_id"), col("rank"),
+            round(col("cos_sim"), 6).as("cos_sim_r"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        scored AS (SELECT query_id, vec_id AS corpus_id,
+          list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos_sim
+          FROM e, q WHERE vec_id <> query_id),
+        ranked AS (SELECT query_id, corpus_id, cos_sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, corpus_id, rank, round(cos_sim, 6) AS cos_sim_r
+        FROM ranked WHERE rank <= 5""")),
+
+    // LSH-bucketed ANN — the scale path; structural check only
+    QueryDef("q34_ann_lsh",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Vectors.lshTopK(e, e.where(col("vec_id") < 3),
+            "vec_id", "embedding", k = 5, planes = 4, tables = 8)
+          .select(col("query_id"), col("corpus_id"), col("rank"),
+            round(col("cos_sim"), 6).as("cos_sim_r"))
+      },
+      None),
+
+    // multimodal: binary column byte accounting (portable oracle)
+    QueryDef("q35_blob_bytes",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        octet_length(Multimodal.asBlob(col("text"))).as("n_bytes")),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        FROM documents""")),
+
+    // multimodal: STUB decode + resize + frame sampling (plumbing real,
+    // codec fake — rows-only)
+    QueryDef("q36_multimodal_decode",
+      (s, d) => {
+        val withBlob = t(s, d, "documents")
+          .select(col("doc_id"), Multimodal.asBlob(col("text")).as("blob"))
+        val withMeta = withBlob
+          .withColumn("meta", Multimodal.fakeDecodeImage(col("blob")))
+          .withColumn("resized", Multimodal.resizeMeta(col("meta"), 512))
+        val frames = Multimodal.sampleFrames(withBlob, "blob", "doc_id", stride = 24)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_sampled_frames"),
+            max("n_frames").as("n_frames"))
+        withMeta.join(frames, Seq("doc_id"))
+          .select(col("doc_id"),
+            col("meta.width"), col("meta.height"), col("meta.format"),
+            col("resized.width").as("rw"), col("resized.height").as("rh"),
+            col("n_frames"), col("n_sampled_frames"))
+      },
+      None))
+}
