@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: times every SparkEntry query at the given SF
+  * and measures end-to-end CDC apply throughput (the BASELINE.json
+  * primary metric) over a materialized synthetic changelog. Prints ONE
+  * JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +14,44 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+
+    // primary metric: CDC apply events/sec over a materialized changelog
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "2000000").toLong
+    val scratch = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "/root/repo"), "target"),
+      "bench-cdc-").toString
+    graft.model.Corpus.changeEvents(spark, nEvents,
+        nConvs = (nEvents / 200).toInt.max(1000), maxTurns = 40,
+        partitions = cpus.toInt * 4)
+      .write.mode("overwrite").parquet(s"$scratch/changelog")
+    val events = spark.read.parquet(s"$scratch/changelog")
+    val table = new graft.table.LakeTable(s"$scratch/table", numBuckets = 64)
+    // warmup commit on a slice, then timed replay
+    graft.cdc.CdcApply.applyBatch(spark,
+      new graft.table.LakeTable(s"$scratch/warm", 16),
+      events.where(col("_txid") <= 10000))
+    val t0 = System.nanoTime()
+    graft.cdc.CdcApply.replay(spark, table, events, nBatches = 2)
+    val cdcSecs = (System.nanoTime() - t0) / 1e9
+    val throughput = nEvents / cdcSecs
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""cdc_events":$nEvents,"cdc_secs":$cdcSecs%.1f,""" +
+      f""""cdc_events_per_sec":$throughput%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,10 +3,8 @@ package graft.cdc
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 
 import graft.model.Model
 import graft.table.LakeTable
@@ -90,7 +88,8 @@ object CdcApply {
       table: LakeTable,
       events: DataFrame,
       batchId: Long = -1L,
-      saltBuckets: Int = SaltBuckets): ApplyStats = {
+      saltBuckets: Int = SaltBuckets,
+      pruneBuckets: Boolean = true): ApplyStats = {
     val prev = table.currentCommit()
     val prevWm = prev.map(_.txidWatermark).getOrElse(0L)
     if (batchId >= 0 && table.hasBatch(batchId))
@@ -108,60 +107,73 @@ object CdcApply {
     val payload = evolveSchema(prevPayload, payloadIn)
     val schema = storedSchema(payload)
 
-    // 1. latest event wins per key within the batch (window §2.8);
-    // _etag tiebreak only for determinism under duplicated txids
-    val w = Window.partitionBy(Model.MergeKeys.map(col): _*)
-      .orderBy(col("_txid").desc, col("_etag").desc_nulls_last)
-    val winners = events
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
-      .withColumn("_bucket", table.bucketCol(col("conv_id")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      // 2. bucket pruning: ≤ numBuckets values — tiny collect
-      val touched = winners.select("_bucket").distinct()
-        .collect().map(_.getInt(0)).sorted.toSeq
-      val target = align(table.readBuckets(spark, touched), schema)
-
-      // 3. per-key version gate: effect only if newer than stored row
-      // (tombstones included in `target`, so delete-then-stale-update
-      // resolves correctly)
-      val tgtVersions = target.select(
-        col("conv_id"), col("turn_idx"), col("_txid").as("__tgt_txid"))
-      val effective = winners
-        .join(tgtVersions, Model.MergeKeys, "left")
-        .where(col("__tgt_txid").isNull || col("_txid") > col("__tgt_txid"))
-        .drop("__tgt_txid")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-
-      val effAgg = effective.agg(
-        count(lit(1)).as("n"), max(col("_txid")).as("maxTx"),
-        sum(when(col("_op") === "delete", 1L).otherwise(0L)).as("dels")).head()
-      val nEff = effAgg.getAs[Long]("n")
-      if (nEff == 0L) {
-        effective.unpersist()
-        return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
-          skippedReplay = false, prevWm, 0)
+    // 1. bucket pruning + emptiness in ONE cheap job over the raw batch
+    // (every event's key appears among the winners, so the bucket set of
+    // the batch IS the bucket set of the winners — no window, no
+    // materialization, ≤ numBuckets values collected). For bulk replays
+    // that touch ~every bucket anyway (pruneBuckets=false) the pre-scan
+    // is pure overhead and skipped.
+    val touched: Seq[Int] =
+      if (!pruneBuckets) 0 until table.numBuckets
+      else {
+        val eAgg = events.agg(
+          collect_set(table.bucketCol(col("conv_id"))).as("buckets"),
+          count(lit(1)).as("n")).head()
+        if (eAgg.getAs[Long]("n") == 0L)
+          return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
+            skippedReplay = false, prevWm, 0)
+        eAgg.getSeq[Int](0).sorted
       }
-      val maxTx = math.max(prevWm, effAgg.getAs[Long]("maxTx"))
-      val nDeletes = effAgg.getAs[Long]("dels")
 
-      // 4. merge: untouched target rows ∪ effective events (deletes
-      // materialize as tombstones with payload nulled)
-      val survivors = target.join(
-        effective.select(Model.MergeKeys.map(col): _*), Model.MergeKeys, "left_anti")
+    // 2. latest event wins per key within the batch (§2.8 semantics) as
+    // a partial-aggregable max_by instead of a row_number window: the
+    // map side collapses duplicate keys BEFORE the shuffle and no full
+    // sort is needed — the scalable form of `sort -r | uniq`. _etag is
+    // the tiebreak for duplicated txids (identical payloads).
+    val eventCols = events.columns.toSeq
+    val winners = events
+      .groupBy(Model.MergeKeys.map(col): _*)
+      .agg(max_by(
+        struct(eventCols.map(col): _*),
+        struct(col("_txid"), coalesce(col("_etag"), lit("")))).as("__w"))
+      .select(col("__w.*"))
+
+      // 3.+4. single full-outer MERGE: per key, the winner takes effect
+      // only if its _txid exceeds the stored row's (tombstones are in
+      // `target`, so delete-then-stale-update resolves correctly);
+      // deletes materialize as tombstones with payload nulled. One
+      // target shuffle total — this is the sorted merge-apply stage.
+      val target = align(table.readBuckets(spark, touched), schema)
       val keyCols = Model.MergeKeys.toSet
-      val isDel = effective.col("_op") === "delete"
-      val upsertRows = effective.select(schema.fields.map { f =>
+      val isDel = col("_op") === "delete"
+      val winnerRows = winners.select(schema.fields.map { f =>
         if (f.name == "_deleted") isDel.as("_deleted")
         else if (keyCols(f.name) || f.name == "_txid" || f.name == "_etag")
           col(f.name).cast(f.dataType).as(f.name)
-        else if (effective.columns.contains(f.name))
+        else if (winners.columns.contains(f.name))
           when(isDel, lit(null)).otherwise(col(f.name)).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toSeq: _*)
 
-      val merged = survivors.unionByName(upsertRows)
+      val joined = target.alias("t")
+        .join(winnerRows.alias("w"), Model.MergeKeys.toSeq, "full_outer")
+      val takeWinner = col("w._txid").isNotNull &&
+        (col("t._txid").isNull || col("w._txid") > col("t._txid"))
+      val mergedCols = schema.fields.map { f =>
+        if (keyCols(f.name)) col(f.name)
+        else when(takeWinner, col(s"w.`${f.name}`"))
+          .otherwise(col(s"t.`${f.name}`")).as(f.name)
+      }
+      val obs = new org.apache.spark.sql.Observation(s"apply-${table.nextVersion}")
+      val merged = joined.select((mergedCols.toSeq :+
+          takeWinner.as("__take") :+
+          (takeWinner && coalesce(col("w._deleted"), lit(false))).as("__takeDel") :+
+          when(takeWinner, col("w._txid")).as("__takeTx")): _*)
+        .observe(obs,
+          sum(col("__take").cast("long")).as("nEff"),
+          sum(col("__takeDel").cast("long")).as("nDel"),
+          max(col("__takeTx")).as("maxTx"))
+        .drop("__take", "__takeDel", "__takeTx")
         .withColumn("_bucket", table.bucketCol(col("conv_id")))
         // 5. salt: hot conv_ids spread across tasks inside their bucket
         .repartition(col("_bucket"),
@@ -172,20 +184,22 @@ object CdcApply {
       val outDir = Paths.get(table.location).resolve(rel)
       merged.write.mode("overwrite").partitionBy("_bucket").parquet(outDir.toString)
 
-      // 6. lineage: per-bucket row counts of the rewritten buckets
-      // (metadata-cheap: zero-column scan over just-written files)
-      val wroteData = {
-        import scala.jdk.CollectionConverters._
-        val s = Files.list(outDir)
-        try s.iterator().asScala.exists(_.getFileName.toString.startsWith("_bucket="))
-        finally s.close()
+      val metrics0 = obs.get
+      val nEff = Option(metrics0("nEff")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val nDeletes = Option(metrics0("nDel")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (nEff == 0L) {
+        // pure replay: nothing took effect — discard the rewrite, keep
+        // the previous snapshot (idempotent no-op)
+        deleteRecursively(outDir)
+        return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
+          skippedReplay = false, prevWm, 0)
       }
-      val countsByBucket: Map[Int, Long] =
-        if (wroteData)
-          spark.read.parquet(outDir.toString)
-            .groupBy("_bucket").count().collect()
-            .map(r => r.getInt(0) -> r.getLong(1)).toMap
-        else Map.empty
+      val maxTx = math.max(prevWm, metrics0("maxTx").asInstanceOf[Long])
+
+      // 6. lineage: per-bucket row counts straight from the parquet
+      // footers of the just-written files — driver-side metadata reads,
+      // no Spark job, no scheduling latency
+      val countsByBucket: Map[Int, Long] = footerRowCounts(outDir)
       val rewritten: Map[Int, Option[String]] = touched.map { b =>
         b -> (if (countsByBucket.contains(b)) Some(s"$rel/_bucket=$b") else None)
       }.toMap
@@ -193,10 +207,54 @@ object CdcApply {
       table.commit(schema, rewritten, countsByBucket, maxTx, batchId, Map(
         "events" -> nEff, "upserts" -> (nEff - nDeletes), "deletes" -> nDeletes,
         "bucketsTouched" -> touched.length.toLong))
-      effective.unpersist()
       ApplyStats(version, nEff, nEff - nDeletes, nDeletes,
         skippedReplay = false, maxTx, touched.length)
-    } finally winners.unpersist()
+  }
+
+  /** Per-bucket row counts from parquet footers (driver-side metadata
+    * only; footer reads are O(KB) each). */
+  private def footerRowCounts(outDir: java.nio.file.Path): Map[Int, Long] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(outDir)) return Map.empty
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val s = Files.list(outDir)
+    val bucketDirs = try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_bucket=")).toList
+    finally s.close()
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = bucketDirs.map { dir =>
+        Future {
+          val bucket = dir.getFileName.toString.stripPrefix("_bucket=").toInt
+          val fs = Files.list(dir)
+          val parts = try fs.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toList
+          finally fs.close()
+          val n = parts.map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.toUri), conf)
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try rd.getRecordCount finally rd.close()
+          }.sum
+          bucket -> n
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
   }
 
   /** Replay a changelog in `nBatches` txid-ordered batches (batch-mode
@@ -213,7 +271,8 @@ object CdcApply {
       val from = lo + i * step
       val to = if (i == nBatches - 1) hi + 1 else math.min(lo + (i + 1) * step, hi + 1)
       applyBatch(spark, table,
-        events.where(col("_txid") >= from && col("_txid") < to), batchId = -1L)
+        events.where(col("_txid") >= from && col("_txid") < to), batchId = -1L,
+        pruneBuckets = false)
     }
   }
 }

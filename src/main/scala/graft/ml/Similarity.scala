@@ -25,11 +25,16 @@ object Similarity {
       s => length(s) > 0))
   }
 
-  /** MinHash signature: k independent hash functions via seeded
-    * xxhash64; entry j = min over shingles of h_j(shingle). */
+  /** MinHash signature: each shingle is string-hashed ONCE, then the k
+    * independent hash functions are derived by re-hashing the base long
+    * (universal-hashing trick) — one pass over the shingle array, k
+    * cheap long-hashes per shingle instead of k string-hashes. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleCol, s => xxhash64(j, s))))
+    aggregate(
+      transform(shingleCol, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, j) => least(m, xxhash64(j, h))))
 
   /** Estimated Jaccard from two equal-length MinHash signatures. */
   def signatureJaccard(a: Column, b: Column): Column =
@@ -60,25 +65,31 @@ object Similarity {
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     val sigs = df.select(col(idCol).as("_id"),
-        minhashSignature(shingles(col(textCol), shingleN), k).as("_sig"))
-      .where(size(col("_sig")) > 0)
-    val banded = sigs.select(col("_id"), col("_sig"),
+        shingles(col(textCol), shingleN).as("_shg"))
+      .where(size(col("_shg")) > 0) // empty docs must not share a signature
+      .select(col("_id"), minhashSignature(col("_shg"), k).as("_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate generation carries ONLY ids through the band join —
+    // signatures would multiply the shuffle k-fold
+    val banded = sigs.select(col("_id"),
         explode(lshBands(col("_sig"), k, bands)).as("b"))
-      .select(col("_id"), col("_sig"), col("b.band"), col("b.bucket"))
+      .select(col("_id"), col("b.band"), col("b.bucket"))
     // cap pathological buckets (constant-prefix shingle floods)
     val wB = Window.partitionBy("band", "bucket").orderBy("_id")
     val capped = banded.withColumn("_rn", row_number().over(wB))
       .where(col("_rn") <= maxBucket).drop("_rn")
-    val l = capped.select(col("band"), col("bucket"),
-      col("_id").as("id_a"), col("_sig").as("sig_a"))
-    val r = capped.select(col("band"), col("bucket"),
-      col("_id").as("id_b"), col("_sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
+    val l = capped.select(col("band"), col("bucket"), col("_id").as("id_a"))
+    val r = capped.select(col("band"), col("bucket"), col("_id").as("id_b"))
+    // each surviving pair scored ONCE, however many bands it collides in
+    val candidates = l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(sigs.select(col("_id").as("id_a"), col("_sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("_id").as("id_b"), col("_sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         signatureJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** 64-bit SimHash of a token array — fully per-row (no shuffle):
@@ -117,13 +128,16 @@ object Similarity {
           c => struct(c.as("chunk"),
             call_function("shiftright", col("_sh"), c * 8).bitwiseAND(0xFFL).as("key")))).as("b"))
       .select(col("_id"), col("_sh"), col("b.chunk"), col("b.key"))
-    val l = chunked.select(col("chunk"), col("key"), col("_id").as("id_a"), col("_sh").as("sh_a"))
-    val r = chunked.select(col("chunk"), col("key"), col("_id").as("id_b"), col("_sh").as("sh_b"))
-    l.join(r, Seq("chunk", "key"))
+    val l = chunked.select(col("chunk"), col("key"), col("_id").as("id_a"))
+    val r = chunked.select(col("chunk"), col("key"), col("_id").as("id_b"))
+    val candidates = l.join(r, Seq("chunk", "key"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(hashed.select(col("_id").as("id_a"), col("_sh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("_id").as("id_b"), col("_sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
   /** Exact n-gram Jaccard for a (small) candidate pair set: joins the

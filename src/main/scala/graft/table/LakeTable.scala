@@ -141,6 +141,39 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     c
   }
 
+  /** Compact the table: rewrite every live bucket, dropping delete
+    * tombstones whose _txid < `tombstoneHorizon`. A tombstone guards
+    * against resurrection by stale (lower-txid) updates, so it may only
+    * be dropped once no event older than it can still arrive — the
+    * caller supplies that lateness bound (e.g. watermark − maxLag).
+    * Also merges the per-commit small files of each bucket into one
+    * rewrite, bounding read amplification after many commits. */
+  def compact(spark: SparkSession, tombstoneHorizon: Long): Option[Commit] =
+    currentCommit().map { c =>
+      val keep = readRaw(spark).where(
+        !coalesce(col("_deleted"), lit(false)) || col("_txid") >= tombstoneHorizon)
+      val version = c.version + 1
+      val rel = f"data/c$version%012d"
+      keep.withColumn("_bucket", bucketCol(col("conv_id")))
+        .repartition(col("_bucket"))
+        .write.mode("overwrite").partitionBy("_bucket")
+        .parquet(root.resolve(rel).toString)
+      val dirs = {
+        val s = Files.list(root.resolve(rel))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("_bucket=")).toList
+        } finally s.close()
+      }
+      val rewritten: Map[Int, Option[String]] =
+        c.buckets.keys.map(_.toInt).map { b =>
+          b -> (if (dirs.contains(s"_bucket=$b")) Some(s"$rel/_bucket=$b") else None)
+        }.toMap
+      commit(c.schema, rewritten, Map.empty, c.txidWatermark, -1L,
+        Map("compaction" -> 1L, "tombstoneHorizon" -> tombstoneHorizon))
+    }
+
   /** True if a streaming micro-batch with this id was already committed
     * (crash-replay idempotence check). */
   def hasBatch(batchId: Long): Boolean = {

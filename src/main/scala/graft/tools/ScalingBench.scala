@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.cdc.CdcApply
+import graft.model.Corpus
+import graft.table.LakeTable
+
+/** Two-cluster-size scaling evidence (BASELINE.json north rule): run the
+  * SAME CDC replay at local[N] and local[4N] on the same generated
+  * corpus and report throughput at both + scaling efficiency
+  * (sandbox substitute for N vs 4N executors, per the task brief).
+  *
+  * Usage: runMain graft.tools.ScalingBench [nEvents] [nBatches] [N]
+  */
+object ScalingBench {
+
+  case class RunResult(cpus: Int, events: Long, secs: Double, cpuSecs: Double) {
+    def throughput: Double = events / secs
+    def perCpuThroughput: Double = if (cpuSecs > 0) events / cpuSecs else 0.0
+  }
+
+  /** Accumulates task CPU time — host steal/preemption does NOT count,
+    * so events-per-CPU-second compares parallel overhead across
+    * parallelism levels even on a throttled shared VM. */
+  private class CpuTimeListener extends org.apache.spark.scheduler.SparkListener {
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (te.taskMetrics != null) cpuNanos.addAndGet(te.taskMetrics.executorCpuTime)
+  }
+
+  def runAt(cpus: Int, nEvents: Long, nBatches: Int, workDir: String): RunResult = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch on tmpfs — isolates the bench from disk
+      // write-back contention (cluster analogue: local NVMe)
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      // hash join beats sort-merge for the full-outer MERGE (no sorts)
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_SMJ", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cpuListener = new CpuTimeListener
+    spark.sparkContext.addSparkListener(cpuListener)
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val secs = (for {
+              a <- si.completionTime; b <- si.submissionTime
+            } yield (a - b) / 1000.0).getOrElse(-1.0)
+            System.err.println(f"[stage] ${si.stageId}%3d tasks=${si.numTasks}%4d " +
+              f"$secs%6.1f s  ${si.name.takeWhile(_ != '\n')}")
+          }
+        })
+    try {
+      // materialize the changelog first (untimed) — the metric is the
+      // ENGINE's apply throughput over an existing changelog, not the
+      // synthetic generator's speed
+      val logDir = s"$workDir/changelog"
+      Corpus.changeEvents(spark, nEvents,
+          nConvs = math.max(1000, (nEvents / 200).toInt), maxTurns = 40,
+          partitions = cpus * 4)
+        .write.mode("overwrite").parquet(logDir)
+      val events = spark.read.parquet(logDir)
+      val table = new LakeTable(s"$workDir/table-$cpus", numBuckets = 64)
+      // warm the JVM/codegen on a slice, then time the full replay
+      CdcApply.applyBatch(spark, new LakeTable(s"$workDir/warm-$cpus", 16),
+        events.where(org.apache.spark.sql.functions.col("_txid") <= 10000))
+      val t0 = System.nanoTime()
+      val cpuStart = cpuListener.cpuNanos.get()
+      val step = nEvents / nBatches
+      (0 until nBatches).foreach { i =>
+        val lo = i * step + 1
+        val hi = if (i == nBatches - 1) nEvents else (i + 1) * step
+        val tb = System.nanoTime()
+        val st = CdcApply.applyBatch(spark, table,
+          events.where(org.apache.spark.sql.functions.col("_txid").between(lo, hi)),
+          pruneBuckets = false)
+        System.err.println(f"[scaling] cpus=$cpus batch$i: " +
+          f"applied=${st.applied} ${(System.nanoTime() - tb) / 1e9}%.1f s")
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val cpu0 = cpuListener.cpuNanos.get() - cpuStart
+      RunResult(cpus, nEvents, secs, cpu0 / 1e9)
+    } finally spark.stop()
+  }
+
+  /** Generation-only microbench: counts the corpus (no shuffle/persist/
+    * write) — isolates the expression layer when diagnosing scaling. */
+  def genOnly(cpus: Int, nEvents: Long): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val ev = Corpus.changeEvents(spark, nEvents, nConvs = 100000,
+        maxTurns = 40, partitions = cpus * 4)
+      val t0 = System.nanoTime()
+      val n = ev.select(org.apache.spark.sql.functions.max("_etag")).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"bench":"gen_only","cpus":$cpus,"secs":$secs%.1f,"rows_per_sec":${nEvents / secs}%.0f}""")
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("gen") =>
+      genOnly(args(1).toInt, if (args.length > 2) args(2).toLong else 16000000L)
+    // single pinned run (drive with `taskset -c 0-(N-1)` so local[N]
+    // really has N cores — on one box the JVM otherwise borrows idle
+    // cores for GC and shuffle threads, skewing the N vs 4N compare)
+    case Some("single") =>
+      val cpus = args(1).toInt
+      val nEvents = if (args.length > 2) args(2).toLong else 2000000L
+      val nBatches = if (args.length > 3) args(3).toInt else 4
+      val r = runAt(cpus, nEvents, nBatches,
+        s"/root/repo/target/scaling-$cpus-$nEvents-${System.nanoTime()}")
+      println(f"""{"bench":"cdc_single","cpus":$cpus,"n_events":$nEvents,""" +
+        f""""secs":${r.secs}%.1f,"events_per_sec":${r.throughput}%.0f,""" +
+        f""""cpu_secs":${r.cpuSecs}%.1f,"events_per_cpu_sec":${r.perCpuThroughput}%.0f}""")
+    // both in one JVM (unpinned; quick look only)
+    case _ =>
+      val nEvents = if (args.length > 0) args(0).toLong else 2000000L
+      val nBatches = if (args.length > 1) args(1).toInt else 4
+      val n = if (args.length > 2) args(2).toInt else 8
+      val work = s"/root/repo/target/scaling-$nEvents"
+      val rN = runAt(n, nEvents, nBatches, work)
+      val r4N = runAt(n * 4, nEvents, nBatches, work)
+      val efficiency = (r4N.throughput / rN.throughput) / 4.0
+      println(f"""{"bench":"cdc_scaling","n_events":$nEvents,"n_batches":$nBatches,""" +
+        f""""local_${n}":{"secs":${rN.secs}%.1f,"events_per_sec":${rN.throughput}%.0f},""" +
+        f""""local_${n * 4}":{"secs":${r4N.secs}%.1f,"events_per_sec":${r4N.throughput}%.0f},""" +
+        f""""speedup":${r4N.throughput / rN.throughput}%.2f,"scaling_efficiency":$efficiency%.3f}""")
+  }
+}

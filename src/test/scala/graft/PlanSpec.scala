@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+import graft.table.LakeTable
+import graft.cdc.CdcApply
+import graft.model.Corpus
+
+/** Physical-plan quality gates: these queries must keep the plan shapes
+  * that make them viable at 100 TB — filters pushed into the parquet
+  * scan, column pruning, broadcast for dimension joins, partial (map-
+  * side) aggregation, whole-stage codegen on the hot path. A regression
+  * here is a performance bug even when results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val q = SparkEntry.queries(name)
+    val df = q(spark, sf)
+    df.collect() // materialize so AQE finalizes the physical plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 filter pushdown reaches the parquet scan") {
+    val p = planOf("q02_filter_pushdown")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate")),
+      s"no pushed filters:\n$p")
+  }
+
+  test("q02 scan is column-pruned (ReadSchema excludes unused columns)") {
+    val p = planOf("q02_filter_pushdown")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && !readSchema.contains("l_orderkey"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q04 dimension joins are broadcast (no shuffle of the fact side)") {
+    val p = planOf("q04_dim_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q01 aggregation is partial+final (map-side combine)") {
+    val p = planOf("q01_pricing_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q01 hot path is inside whole-stage codegen") {
+    val p = planOf("q01_pricing_agg")
+    // "*(n) Operator" marks a whole-stage-codegen span in the simple rendering
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\) ".r.findFirstIn(p).isDefined,
+      s"no codegen spans:\n$p")
+  }
+
+  test("lake table point read prunes to one bucket (scan lists one directory)") {
+    val table = new LakeTable(tmpDir("planprune"), numBuckets = 16)
+    CdcApply.applyBatch(spark, table,
+      Corpus.changeEvents(spark, 2000, nConvs = 50, maxTurns = 8))
+    val buckets = table.currentCommit().get.buckets
+    val oneBucket = buckets.keys.head.toInt
+    val pruned = table.readBuckets(spark, Seq(oneBucket))
+    val files = pruned.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(s"_bucket=$oneBucket")),
+      s"bucket pruning leaked files: ${files.take(3).mkString(",")}")
+  }
+
+  test("merge-apply plan: target side scans only touched buckets") {
+    val table = new LakeTable(tmpDir("planmerge"), numBuckets = 16)
+    val events = Corpus.changeEvents(spark, 2000, nConvs = 50, maxTurns = 8)
+    CdcApply.applyBatch(spark, table, events)
+    val allBuckets = table.currentCommit().get.buckets.size
+    import spark.implicits._
+    val one = Seq((99999L, "update", "ee", "conv00000001", 0, "user", "x",
+      null: String, java.sql.Timestamp.valueOf("2014-03-12 00:00:00")))
+      .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val stats = CdcApply.applyBatch(spark, table, one)
+    assert(stats.bucketsTouched == 1 && allBuckets > 1,
+      s"merge touched ${stats.bucketsTouched} of $allBuckets buckets")
+  }
+
+  test("text-analysis queries contain no UDFs (pure codegen expressions)") {
+    Seq("q22_text_stats", "q23_quality_score", "q25_fingerprint").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+        s"$n uses a UDF:\n$p")
+    }
+  }
+}
