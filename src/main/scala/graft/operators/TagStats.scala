@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's corpus-measurement stage (SURVEY.md §2.5 A4-A7):
+  * per-tag statistics and the power-law "Q score" classification that
+  * decides which power-schema table a tag belongs to.
+  *
+  *  - D  = defined (non-null) count        (measure/jsonvalues.sh:18-24)
+  *  - M  = missing count                   (measure/jsonreduce.sh:22-37)
+  *  - U  = distinct values                 (`sort|uniq|wc -l`)
+  *  - Ib = information bytes — proxy: total UTF-8 bytes of the values
+  *         (the reference uses pbzip2-compressed size; a compression
+  *         estimate is not portable, the byte total is, and both are
+  *         monotone in content volume)
+  *
+  * Classification (docs/writeup.md:243-307, threshold Fd = 0.15,
+  * docs/newnormal.md:398-423): Sp = D/(D+M) support, Cx = U/D
+  * uniqueness; Q = log2(Ib·Sp·Cx); tag → hct (`_m`) iff Q > Im(=0),
+  * else rtt (`_s`) if sparse (Sp < 0.15), else lct (`_r`).
+  *
+  * One aggregate pass computes every tag's stats (partial+final,
+  * exact distinct via the shuffle — swap `countDistinct` for
+  * `approx_count_distinct` at 100 TB where ±2% is fine); the unpivot
+  * to (tag, …) rows is a plan-time stack, not a second scan.
+  */
+object TagStats {
+
+  def measure(df: DataFrame, tags: Seq[String]): DataFrame = {
+    val aggs = tags.flatMap { t =>
+      val c = col(t).cast("string")
+      Seq(
+        count(c).as(s"${t}__d"),
+        sum(c.isNull.cast("long")).as(s"${t}__m"),
+        countDistinct(c).as(s"${t}__u"),
+        coalesce(sum(octet_length(c).cast("long")), lit(0L)).as(s"${t}__ib"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = tags.map(t =>
+      s"'$t', `${t}__d`, `${t}__m`, `${t}__u`, `${t}__ib`").mkString(", ")
+    wide.select(expr(
+      s"stack(${tags.size}, $stacked) as (tag, d, m, u, ib)"))
+  }
+
+  /** Q-score + routing decision per tag (A6). The reference's Ib is the
+    * pbzip2-compressed byte size; the portable stand-in is a dictionary-
+    * compression estimate from the same stats: distinct-content bytes
+    * (u · avg value length) + code bytes (d · log2(u+1)/8). Repetitive
+    * columns collapse exactly as real compression would. */
+  def classify(stats: DataFrame, fd: Double = 0.15): DataFrame = {
+    val d = greatest(col("d"), lit(1L)).cast("double")
+    val sp = col("d").cast("double") / (col("d") + col("m")).cast("double")
+    val cx = col("u").cast("double") / d
+    val ibComp = col("u").cast("double") * (col("ib").cast("double") / d) +
+      d * log2(col("u").cast("double") + 1.0) / 8.0
+    val q = log2(greatest(ibComp, lit(1.0)) * sp * cx)
+    stats.select(col("tag"), col("d"), col("m"), col("u"), col("ib"),
+      round(sp, 6).as("sp"), round(cx, 6).as("cx"),
+      round(ibComp, 3).as("ib_comp"), round(q, 6).as("q"),
+      when(q > 0, "hct").when(sp < fd, "rtt").otherwise("lct").as("route"))
+  }
+}

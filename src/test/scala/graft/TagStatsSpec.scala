@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.TagStats
+
+class TagStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Q-score routes dense→hct, sparse→rtt, repetitive→lct (writeup.md:243-307)") {
+    // 1000 rows: `id` dense+unique, `rare` defined on 5 rows (sparse),
+    // `status` dense but 2 distinct values and tiny (repetitive)
+    val df = (0 until 1000).map { i =>
+      (s"row$i",
+        if (i < 5) Some(s"rare-value-$i") else None,
+        if (i % 2 == 0) "a" else "b")
+    }.toDF("id", "rare", "status")
+    val routed = TagStats.classify(TagStats.measure(df, Seq("id", "rare", "status")))
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[String]("route")).toMap
+    assert(routed("id") == "hct")     // high-information → main table
+    assert(routed("rare") == "rtt")   // sparse (Sp < 0.15) → rare-tag table
+    assert(routed("status") == "lct") // dense, low-complexity → repetitive table
+  }
+
+  test("stats D/M/U/Ib are exact") {
+    val df = Seq(Some("aa"), Some("aa"), Some("bb"), None)
+      .toDF("v")
+    val s = TagStats.measure(df, Seq("v")).collect().head
+    assert(s.getAs[Long]("d") == 3 && s.getAs[Long]("m") == 1)
+    assert(s.getAs[Long]("u") == 2 && s.getAs[Long]("ib") == 6)
+  }
+}
