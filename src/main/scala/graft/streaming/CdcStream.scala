@@ -78,6 +78,15 @@ object CdcStream {
           val t0 = System.nanoTime()
           val stats = CdcApply.applyBatch(session, table, events, batchId = batchId)
           val ms = (System.nanoTime() - t0) / 1000000
+          // ingest lag: wall-clock minus newest event time in the batch
+          // (north-star metric; negative/absent ts → no lag reading)
+          if (stats.applied > 0 && events.columns.contains("ts")) {
+            val maxTs = events.agg(max(col("ts")).cast("long")).head()
+            if (!maxTs.isNullAt(0)) {
+              val lagMs = System.currentTimeMillis() - maxTs.getLong(0) * 1000L
+              IngestMetrics.record(table.location, batchId, lagMs, ms, stats)
+            }
+          }
           onBatch(ms, stats)
         }
         ()

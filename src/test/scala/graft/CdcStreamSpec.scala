@@ -66,6 +66,19 @@ class CdcStreamSpec extends SparkSpec {
     assert(table.currentCommit().get.version == v1) // no new data commits
   }
 
+  test("ingest metrics: one lag/lineage line per applied micro-batch") {
+    val events = Corpus.changeEvents(spark, 600, nConvs = 20, maxTurns = 6)
+    val logDir = tmpDir("metrics-log")
+    writeChangelog(logDir, events, Seq((1L, 300L), (301L, 600L)))
+    val table = new LakeTable(tmpDir("metrics-table"), numBuckets = 8)
+    CdcStream.runOnce(spark, s"$logDir/chunk*", table, tmpDir("metrics-ckpt"),
+      maxFilesPerTrigger = 1)
+    val lines = graft.streaming.IngestMetrics.read(table.location)
+    assert(lines.size == 2, s"expected 2 metric lines, got: $lines")
+    assert(lines.forall(l => l.contains("\"ingestLagMs\":") &&
+      l.contains("\"bucketsTouched\":") && l.contains("\"applied\":")))
+  }
+
   test("schema evolution arrives mid-stream: tool column absorbed from late segments") {
     // corpus: tool is null before the evolve point → NDJSON omits the
     // key entirely → early segments genuinely lack the field
