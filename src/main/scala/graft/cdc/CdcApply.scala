@@ -57,13 +57,47 @@ object CdcApply {
 
   val SaltBuckets = 8
 
-  /** Widen `prev` with any payload columns that appear only in `incoming`
-    * (novel-field absorption → schema evolution; reference:
-    * /root/reference/lib/moraydump_reorg.js:501-529). */
+  /** Map a Spark type onto the reference's promotion lattice name
+    * (SURVEY.md §1.3). Unlisted types promote via varchar (absorbs). */
+  private def latticeName(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case ByteType | ShortType | IntegerType | LongType => "integer"
+    case FloatType | DoubleType | _: DecimalType => "real"
+    case TimestampType | TimestampNTZType | DateType => "timestamptz"
+    case StringType => "varchar"
+    case _ => "other"
+  }
+
+  private def latticeType(name: String, a: DataType, b: DataType): DataType =
+    name match {
+      case "integer" => if (a == LongType || b == LongType) LongType else a
+      case "real" => DoubleType
+      case "timestamptz" => TimestampType
+      case "varchar" => StringType
+      case _ => StringType
+    }
+
+  /** Evolve `prev` with `incoming` payload columns: novel fields are
+    * absorbed (reference: lib/moraydump_reorg.js:501-529), and type
+    * conflicts on existing fields PROMOTE along the reference's
+    * typeThatWins lattice (lib/json2pgtypes.js:613-643) — int+real →
+    * real, int+timestamp → timestamp, anything+varchar → varchar —
+    * instead of failing or silently truncating. */
   def evolveSchema(prev: StructType, incoming: StructType): StructType = {
+    val incomingByName = incoming.fields.map(f => f.name -> f).toMap
+    val widened = prev.fields.map { f =>
+      incomingByName.get(f.name) match {
+        case Some(in) if in.dataType != f.dataType
+            && !Model.MergeKeys.contains(f.name) =>
+          val winner = graft.types.TypeInference.typeThatWins(
+            latticeName(f.dataType), latticeName(in.dataType))
+          f.copy(dataType = latticeType(winner, f.dataType, in.dataType))
+        case _ => f
+      }
+    }
     val known = prev.fieldNames.toSet
     val novel = incoming.fields.filterNot(f => known.contains(f.name))
-    StructType(prev.fields ++ novel.map(_.copy(nullable = true)))
+    StructType(widened ++ novel.map(_.copy(nullable = true)))
   }
 
   /** Project `df` onto `schema`: missing columns become typed nulls,

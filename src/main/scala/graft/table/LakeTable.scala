@@ -99,13 +99,54 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       case Some(c) => readCommit(spark, c, buckets)
     }
 
+  /** All commits in version order (the commit log is tiny: one small
+    * JSON per commit). */
+  def commitLog(): Seq[Commit] = {
+    if (!Files.isDirectory(commitsDir)) return Seq.empty
+    val files = {
+      val s = Files.list(commitsDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } finally s.close()
+    }
+    files.map(p => Serialization.read[Commit](Files.readString(p)))
+  }
+
   private def readCommit(spark: SparkSession, c: Commit, buckets: Seq[Int]): DataFrame = {
     val live = buckets.flatMap(b => c.buckets.get(b.toString))
-      .map(rel => root.resolve(rel).toString)
-    if (live.isEmpty) spark.createDataFrame(
+    if (live.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], c.schema)
-    // latest schema over all files: evolution-added columns read as null
-    else spark.read.schema(c.schema).parquet(live: _*)
+    // Each bucket dir was written by exactly one commit (path encodes the
+    // version), under that commit's schema. Schema evolution may PROMOTE
+    // column types (int→double→string), which parquet cannot coerce at
+    // scan time — so read every file group under its writer's schema and
+    // cast up to the latest (reader-side promotion, SURVEY.md §7 hard
+    // part (c)). Single-schema tables take the single-scan fast path.
+    val byVersion = live.groupBy(rel => rel.split("/")(1)) // data/cVVV/_bucket=N
+    val schemas = commitLog().map(cm => f"c${cm.version}%012d" -> cm.schema).toMap
+    val latest = c.schema
+    def castUp(df: DataFrame): DataFrame =
+      df.select(latest.fields.map { f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+    val distinctSchemas = byVersion.keys.flatMap(schemas.get).map(_.json).toSet
+    // fast path (one scan) only when nothing needs reader-side promotion;
+    // add-only evolution is fine here (missing columns read as null)
+    val addOnly = distinctSchemas.forall { sj =>
+      val s = DataType.fromJson(sj).asInstanceOf[StructType]
+      s.fields.forall(f => latest.find(_.name == f.name)
+        .exists(_.dataType == f.dataType))
+    }
+    if (addOnly)
+      spark.read.schema(latest).parquet(live.map(r => root.resolve(r).toString): _*)
+    else byVersion.toSeq.sortBy(_._1).map { case (ver, rels) =>
+      val writerSchema = schemas.getOrElse(ver, latest)
+      castUp(spark.read.schema(writerSchema)
+        .parquet(rels.map(r => root.resolve(r).toString): _*))
+    }.reduce(_ unionByName _)
   }
 
   def nextVersion: Long = currentCommit().map(_.version + 1).getOrElse(1L)

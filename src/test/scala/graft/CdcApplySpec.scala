@@ -95,6 +95,39 @@ class CdcApplySpec extends SparkSpec {
     assertSameRows(st, Corpus.oracleFinalState(events))
   }
 
+  test("type promotion on evolution: int payload column widens to double, then to string") {
+    import spark.implicits._
+    def ev(txid: Long, conv: String, score: Any) = {
+      val base = Seq((txid, "update", s"e$txid", conv, 0))
+        .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx")
+      score match {
+        case i: Int => base.withColumn("score", lit(i))
+        case d: Double => base.withColumn("score", lit(d))
+        case s: String => base.withColumn("score", lit(s))
+      }
+    }
+    val table = new LakeTable(tmpDir("promote"), numBuckets = 4)
+    CdcApply.applyBatch(spark, table, ev(1, "convA", 5))
+    assert(table.currentCommit().get.schema("score").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // int + double → double (typeThatWins: real beats integer)
+    CdcApply.applyBatch(spark, table, ev(2, "convB", 2.5))
+    assert(table.currentCommit().get.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // + string → varchar absorbs everything
+    CdcApply.applyBatch(spark, table, ev(3, "convC", "high"))
+    assert(table.currentCommit().get.schema("score").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val rows = table.read(spark).select("conv_id", "score")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // convA may render "5" or "5.0" depending on whether its bucket was
+    // physically rewritten while the column was at the double stage —
+    // both are the same value under the promotion lattice
+    assert(rows("convA").toDouble == 5.0)
+    assert(rows("convB") == "2.5" && rows("convC") == "high")
+    assert(rows.size == 3)
+  }
+
   test("out-of-order segments: applying newer txid ranges FIRST still converges") {
     val events = corpus(2000)
     val table = new LakeTable(tmpDir("ooo"), numBuckets = 16)
