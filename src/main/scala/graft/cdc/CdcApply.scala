@@ -209,14 +209,17 @@ object CdcApply {
           max(col("__takeTx")).as("maxTx"))
         .drop("__take", "__takeDel", "__takeTx")
         .withColumn("_bucket", table.bucketCol(col("conv_id")))
-        // 5. salt: hot conv_ids spread across tasks inside their bucket
-        .repartition(col("_bucket"),
-          pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets.toLong)))
+      // 5. salt: hot conv_ids spread across tasks inside their bucket.
+      // Explicit numPartitions marks the exchange user-specified so AQE
+      // cannot coalesce the salt groups back into one task.
+      val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+      val salted = merged.repartition(shufflePartitions, col("_bucket"),
+        pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets.toLong)))
 
       val version = table.nextVersion
       val rel = f"data/c$version%012d"
       val outDir = Paths.get(table.location).resolve(rel)
-      merged.write.mode("overwrite").partitionBy("_bucket").parquet(outDir.toString)
+      salted.write.mode("overwrite").partitionBy("_bucket").parquet(outDir.toString)
 
       val metrics0 = obs.get
       val nEff = Option(metrics0("nEff")).map(_.asInstanceOf[Long]).getOrElse(0L)
