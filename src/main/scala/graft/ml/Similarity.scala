@@ -92,24 +92,14 @@ object Similarity {
       .where(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash of a token array — fully per-row (no shuffle):
-    * each token's xxhash64 votes ±1 per bit; the sign vector packs
-    * into one long. */
-  def simhash64(text: Column): Column = {
-    val toks = split(text, " ")
-    val votes = aggregate(
-      toks,
-      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
+  /** 64-bit SimHash of a whitespace-tokenized text column — fully
+    * per-row (no shuffle). Implemented as a native Catalyst expression
+    * ([[graft.functions.SimHash64Expr]]): the previous higher-order-
+    * function formulation ran interpreted (HOFs are CodegenFallback) at
+    * ~64 expression-tree evaluations per token; the native loop is a
+    * per-byte scan with codegen. */
+  def simhash64(text: Column): Column =
+    graft.functions.SimHash64Expr.simhash64(text)
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -118,18 +108,29 @@ object Similarity {
     * pair within hamming ≤ 7 of 64 bits must agree on at least one of
     * the 8 chunks — then verify exact hamming. (Short documents flip
     * several bits per edit, so the hamming budget must be generous;
-    * 16-bit chunks would only guarantee ≤ 3.) */
+    * 16-bit chunks would only guarantee ≤ 3.)
+    *
+    * `maxBucket` caps each (chunk, key) block — 8-bit chunks give only
+    * 256 blocks per chunk, so without a cap a large corpus degenerates
+    * to an O(n²/256) candidate join. Capping trades bounded recall loss
+    * for a hard bound on the blow-up (a pair inside the hamming budget
+    * collides on several chunks, so eviction from one hot block rarely
+    * loses it). Eviction order is id-hash, not id, so systematically
+    * high ids (e.g. planted mutants) aren't preferentially evicted. */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 7, maxBucket: Int = 128): DataFrame = {
     val hashed = df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sh"))
-    val chunked = hashed.select(col("_id"), col("_sh"),
+    val chunked = hashed.select(col("_id"),
         explode(transform(sequence(lit(0), lit(7)),
           c => struct(c.as("chunk"),
             call_function("shiftright", col("_sh"), c * 8).bitwiseAND(0xFFL).as("key")))).as("b"))
-      .select(col("_id"), col("_sh"), col("b.chunk"), col("b.key"))
-    val l = chunked.select(col("chunk"), col("key"), col("_id").as("id_a"))
-    val r = chunked.select(col("chunk"), col("key"), col("_id").as("id_b"))
+      .select(col("_id"), col("b.chunk"), col("b.key"))
+    val wB = Window.partitionBy("chunk", "key").orderBy(xxhash64(col("_id")))
+    val capped = chunked.withColumn("_rn", row_number().over(wB))
+      .where(col("_rn") <= maxBucket).drop("_rn")
+    val l = capped.select(col("chunk"), col("key"), col("_id").as("id_a"))
+    val r = capped.select(col("chunk"), col("key"), col("_id").as("id_b"))
     val candidates = l.join(r, Seq("chunk", "key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -153,5 +154,54 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
+  /** LSH-candidate generation + EXACT Jaccard verification in ONE
+    * shingle pass: shingles are computed once and persisted, signatures
+    * and the banding join derive from them, candidate ids re-join the
+    * same persisted shingles for the exact intersection/union counts.
+    * (The previous two-operator composition recomputed shingles and
+    * signatures from scratch for the verify stage — 2× the dominant
+    * per-row cost.)
+    *
+    * Output is integer-exact — (id_a, id_b, n_inter, n_union) with
+    * n_inter/n_union ≥ `threshold` — so an oracle can reproduce it
+    * bit-for-bit with no float rounding at the threshold boundary.
+    * With `bands = 32` (2 rows/band) a pair at Jaccard j is missed with
+    * probability (1-j²)^32 — ≤ 4e-10 at j = 0.7 — so on corpora whose
+    * true near-dups sit well above the threshold the LSH output equals
+    * the exhaustive O(n²) answer, which is exactly what the driver
+    * oracle computes.
+    */
+  def exactNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 32,
+      threshold: (Int, Int) = (7, 10), maxBucket: Int = 64): DataFrame = {
+    val (num, den) = threshold
+    val sh = df.select(col(idCol).as("_id"),
+        shingles(col(textCol), shingleN).as("_shg"))
+      .where(size(col("_shg")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sh.select(col("_id"), minhashSignature(col("_shg"), k).as("_sig"))
+    val banded = sigs.select(col("_id"),
+        explode(lshBands(col("_sig"), k, bands)).as("b"))
+      .select(col("_id"), col("b.band"), col("b.bucket"))
+    // id-hash eviction order: identical docs flood every band bucket,
+    // and hash order keeps eviction unbiased w.r.t. id ranges
+    val wB = Window.partitionBy("band", "bucket").orderBy(xxhash64(col("_id")))
+    val capped = banded.withColumn("_rn", row_number().over(wB))
+      .where(col("_rn") <= maxBucket).drop("_rn")
+    val l = capped.select(col("band"), col("bucket"), col("_id").as("id_a"))
+    val r = capped.select(col("band"), col("bucket"), col("_id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(sh.select(col("_id").as("id_a"), col("_shg").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("_id").as("id_b"), col("_shg").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("n_union"))
+      .where(col("n_inter") * den >= col("n_union") * num)
   }
 }

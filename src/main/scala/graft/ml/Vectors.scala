@@ -73,31 +73,90 @@ object Vectors {
     transform(sequence(lit(0), lit(tables - 1)),
       t => struct(t.cast("int").as("tbl"), lshBucket(vec, planes, t).as("bkt")))
 
-  /** ANN via multi-table random-hyperplane LSH: bucket the corpus and
-    * queries with L independent plane sets; a pair is a candidate if it
-    * collides in ANY table (recall ≈ 1-(1-p^planes)^L). Rank within
-    * candidates. `planes` trades bucket size vs selectivity; `tables`
-    * trades recall vs work — the standard production ANN shape. */
+  /** ANN via multi-table random-hyperplane LSH for a SMALL query set:
+    * bucket the corpus and queries with L independent plane sets; a
+    * pair is a candidate if it collides in ANY table (recall ≈
+    * 1-(1-p^planes)^L). Rank within candidates. `planes` trades bucket
+    * size vs selectivity; `tables` trades recall vs work — the standard
+    * production ANN shape.
+    *
+    * The query side is broadcast, so this path is ONLY for genuinely
+    * small query sets (point lookups, eval batches). Corpus-scale
+    * symmetric near-dup search goes through [[lshNearDups]], which
+    * never broadcasts. `maxBucket` caps each corpus (tbl, bkt) group so
+    * a direction-clustered corpus cannot degenerate the candidate join
+    * to O(n²/2^planes); candidates carry ids only — vectors re-join
+    * once after dedup, instead of dragging both double-arrays through
+    * the dropDuplicates shuffle. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      planes: Int = 8, tables: Int = 8): DataFrame = {
+      planes: Int = 8, tables: Int = 8, maxBucket: Int = 1024): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String) =
-      df.select(col(id), col(vec),
+      df.select(col(id),
           explode(lshBuckets(col(vec), planes, tables)).as("b"))
-        .select(col(id), col(vec), col("b.tbl"), col("b.bkt"))
-    val c = bucketed(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")),
-      "corpus_id", "cv")
-    val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv")
+        .select(col(id), col("b.tbl"), col("b.bkt"))
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wB = Window.partitionBy("tbl", "bkt").orderBy(xxhash64(col("corpus_id")))
+    val c = bucketed(cv, "corpus_id", "cv")
+      .withColumn("_rn", row_number().over(wB))
+      .where(col("_rn") <= maxBucket).drop("_rn")
+    val q = bucketed(qv, "query_id", "qv")
     val candidates = c.join(broadcast(q), Seq("tbl", "bkt"))
       .where(col("corpus_id") =!= col("query_id"))
-      .select("query_id", "corpus_id", "cv", "qv")
+      .select("query_id", "corpus_id")
       .dropDuplicates("query_id", "corpus_id")
-    val scored = candidates.select(col("query_id"), col("corpus_id"),
-      cosine(col("cv"), col("qv")).as("cos_sim"))
+    val scored = candidates
+      .join(cv, Seq("corpus_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("cv"), col("qv")).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Symmetric near-duplicate search over ONE corpus — the self-join
+    * form. Never broadcasts: the candidate join is a shuffle join on
+    * (tbl, bkt) carrying ids only, each bucket capped at `maxBucket`
+    * rows (id-hash eviction order, so no id range is preferentially
+    * evicted), vectors and norms re-joined exactly once for scoring.
+    * At high `minCosine` use many planes (≥12) so buckets stay small:
+    * collision prob per table for angle θ is (1-θ/π)^planes, and near-
+    * identical pairs (θ≈0) still collide in some table with probability
+    * ≈ 1-(1-p^planes)^tables.
+    *
+    * Scale shape: bucketing is one narrow pass; the only quadratic
+    * term is per-(tbl,bkt) and hard-capped; norms are precomputed per
+    * row (not per pair). This replaces the corpus-wide broadcast that
+    * made the previous embedding near-dup path die at scale. */
+  def lshNearDups(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, planes: Int = 12, tables: Int = 12,
+      maxBucket: Int = 64): DataFrame = {
+    val v = corpus.select(col(idCol).as("_id"),
+        transform(col(vecCol), _.cast("double")).as("_v"))
+      .withColumn("_n", l2norm(col("_v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = v.select(col("_id"),
+        explode(lshBuckets(col("_v"), planes, tables)).as("b"))
+      .select(col("_id"), col("b.tbl"), col("b.bkt"))
+    val wB = Window.partitionBy("tbl", "bkt").orderBy(xxhash64(col("_id")))
+    val capped = bucketed.withColumn("_rn", row_number().over(wB))
+      .where(col("_rn") <= maxBucket).drop("_rn")
+    val l = capped.select(col("tbl"), col("bkt"), col("_id").as("id_a"))
+    val r = capped.select(col("tbl"), col("bkt"), col("_id").as("id_b"))
+    val candidates = l.join(r, Seq("tbl", "bkt"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(v.select(col("_id").as("id_a"), col("_v").as("va"), col("_n").as("na")),
+        Seq("id_a"))
+      .join(v.select(col("_id").as("id_b"), col("_v").as("vb"), col("_n").as("nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .where(col("cos_sim") >= minCosine)
   }
 }

@@ -21,9 +21,17 @@ object InferJsonQueries {
         import s.implicits._
         val kv = t(s, d, "events").select(
           explode(from_json(col("props"), MapType(StringType, StringType))))
+        // one row per distinct JSON field name — tiny for any sane
+        // corpus, but an adversarial unbounded key space must not
+        // become a driver-side OOM: keep the most-populated fields
+        val maxFields = 100000
         val states = kv.groupBy("key")
-          .agg(graft.types.TypeStateAgg.typestate(col("value")).as("st"))
-          .collect() // one row per distinct JSON field name — tiny
+          .agg(graft.types.TypeStateAgg.typestate(col("value")).as("st"),
+            count(lit(1)).as("__n"))
+          .orderBy(col("__n").desc, col("key"))
+          .limit(maxFields)
+          .drop("__n")
+          .collect()
         states.map { r =>
           val st = r.getStruct(1)
           val ts = graft.types.TypeState(st.getString(0), st.getString(1),
@@ -37,7 +45,9 @@ object InferJsonQueries {
 
     // embedding-cosine near-dup: planted perturbed copies (×1.02 scale
     // + tiny index-dependent jitter keeps cosine ≈ 1) must be recovered
-    // by the LSH path without a full n² scan
+    // by the symmetric LSH self-join path — shuffle join on (tbl, bkt)
+    // with a hard per-bucket cap, never a corpus broadcast, never a
+    // full n² scan
     QueryDef("q43_embed_neardups",
       (s, d) => {
         val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -50,13 +60,9 @@ object InferJsonQueries {
         val all = e.select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("embedding"))
           .unionByName(perturbed)
-        Vectors.lshTopK(all, all, "vec_id", "embedding", k = 1,
-            planes = 6, tables = 12)
-          .where(col("cos_sim") > 0.95)
-          .select(least(col("query_id"), col("corpus_id")).as("id_a"),
-            greatest(col("query_id"), col("corpus_id")).as("id_b"),
-            round(col("cos_sim"), 4).as("cos_sim_r"))
-          .distinct()
+        Vectors.lshNearDups(all, "vec_id", "embedding", minCosine = 0.95,
+            planes = 12, tables = 12, maxBucket = 64)
+          .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim_r"))
       },
       None))
 }

@@ -39,16 +39,33 @@ object MlQueries {
         withMutants(t(s, d, "documents")), "doc_id", "text", maxHamming = 7),
       None),
 
+    // LSH candidates + exact Jaccard verify, single shingle pass. The
+    // oracle is the EXHAUSTIVE all-pairs exact Jaccard at the same
+    // integer threshold (7/10): with bands=32 the LSH miss probability
+    // at j ≥ 0.7 is ≤ 4e-10 per pair, so the capped-LSH output equals
+    // the O(n²) answer — the strongest check a probabilistic candidate
+    // generator can pass. Output columns are exact ints (no float
+    // rounding at the threshold boundary).
     QueryDef("q32_exact_jaccard_verify",
-      (s, d) => {
-        val docs = withMutants(t(s, d, "documents"))
-        val candidates = Similarity.minhashNearDups(
-          docs, "doc_id", "text", threshold = 0.5)
-        Similarity.exactJaccard(docs, "doc_id", "text",
-          candidates.select("id_a", "id_b"))
-          .where(col("jaccard") >= 0.5)
-      },
-      None),
+      (s, d) => Similarity.exactNearDups(
+        withMutants(t(s, d, "documents")), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 32, threshold = (7, 10)),
+      Some("""WITH d AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text || ' mutated' AS text FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 2, 1) + 1),
+            i -> array_to_string(toks[i:i+2], ' '))) AS shg
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_distinct(list_intersect(a.shg, b.shg))) AS INTEGER) AS n_inter,
+          CAST(len(list_distinct(a.shg || b.shg)) AS INTEGER) AS n_union
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(list_intersect(a.shg, b.shg))) * 10
+          >= len(list_distinct(a.shg || b.shg)) * 7""")),
 
     // brute-force cosine top-k — exact baseline, DuckDB-checkable
     // (both engines left-fold the same doubles in the same order)

@@ -10,7 +10,8 @@ object MlTimer {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("q30_minhash_lsh_neardups", "q31_simhash_neardups", "q32_exact_jaccard_verify")
+    Seq("q30_minhash_lsh_neardups", "q31_simhash_neardups",
+        "q32_exact_jaccard_verify", "q43_embed_neardups")
       .foreach { n =>
         val t0 = System.nanoTime()
         val c = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.1").count()

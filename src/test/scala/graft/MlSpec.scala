@@ -79,6 +79,48 @@ class MlSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("exactNearDups finds exactly the planted pairs with integer-exact counts") {
+    val mutated = MlQueries.withMutants(docs)
+    val out = Similarity.exactNearDups(mutated, "doc_id", "text",
+      threshold = (7, 10)).collect()
+    val found = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = docs.count()
+    val expected = (0L until nDocs).map(i => (i, i + MlQueries.MutantOffset)).toSet
+    // docs ≥ 10 tokens → planted-pair jaccard ≥ 8/9 > 0.7; with 32
+    // 2-row bands the per-pair miss probability is ≤ 4e-10
+    assert(found == expected || (expected -- found).isEmpty,
+      s"missing=${(expected -- found).take(5)} extra=${(found -- expected).take(5)}")
+    out.foreach { r =>
+      assert(r.getInt(2) * 10 >= r.getInt(3) * 7,
+        s"pair below threshold leaked: $r")
+    }
+  }
+
+  test("lshNearDups recovers planted embedding near-dups without corpus broadcast") {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val offset = 100000L
+    val perturbed = e.select((col("vec_id") + offset).as("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => x.cast("double") * (lit(1.0) +
+          (pmod(xxhash64(col("vec_id"), i), lit(7L)).cast("double") - 3.0) / 100.0))
+        .as("embedding"))
+    val all = e.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+      .unionByName(perturbed)
+    val df = Vectors.lshNearDups(all, "vec_id", "embedding",
+      minCosine = 0.95, planes = 12, tables = 12, maxBucket = 64)
+    // the self-join path must never hint a broadcast of the corpus —
+    // at 100 TB a corpus broadcast is an OOM, not a plan choice
+    def noHint(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collect { case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h }.isEmpty
+    assert(noHint(df.queryExecution.optimizedPlan), "broadcast hint in lshNearDups plan")
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = e.count()
+    val expected = (0L until n).map(i => (i, i + offset)).toSet
+    val recall = expected.count(pairs).toDouble / expected.size
+    assert(recall >= 0.95, s"embedding near-dup recall $recall")
+  }
+
   test("multimodal stub: decode/resize/frame-sample plumbing shapes") {
     val q = MlQueries.defs.find(_.name == "q36_multimodal_decode").get
     val out = q.fn(spark, "/root/testdata/sf0.001").collect()
