@@ -11,11 +11,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle spill on the shared sandbox disk serializes every
+    // high-parallelism stage; tmpfs restores engine-bound numbers
+    // (measured 4.4x on 16-core runs — BASELINE.md "harness hazards")
+    val localDir = {
+      val shm = java.nio.file.Paths.get("/dev/shm/graft-spark-local")
+      try { java.nio.file.Files.createDirectories(shm); shm.toString }
+      catch { case _: Throwable => System.getProperty("java.io.tmpdir") }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,7 +13,8 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ JsonQueries.defs ++ CdcQueries.defs ++
       PowerQueries.defs ++ TextQueries.defs ++ InferQueries.defs ++
-      MlQueries.defs ++ StatQueries.defs ++ ConvQueries.defs ++ InferJsonQueries.defs
+      MlQueries.defs ++ StatQueries.defs ++ ConvQueries.defs ++
+      InferJsonQueries.defs ++ DumpQueries.defs
 
   /** Flagship: full CDC replay through the real engine on sf0.001. */
   def entry(spark: SparkSession): DataFrame =

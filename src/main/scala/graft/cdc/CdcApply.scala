@@ -68,9 +68,18 @@ object CdcApply {
     case _ => "other"
   }
 
+  private val integralWidth: Seq[DataType] =
+    Seq(ByteType, ShortType, IntegerType, LongType)
+
   private def latticeType(name: String, a: DataType, b: DataType): DataType =
     name match {
-      case "integer" => if (a == LongType || b == LongType) LongType else a
+      case "integer" =>
+        // widest integral of the two by byte width (Byte<Short<Int<Long);
+        // keeping the previous (possibly narrower) type would make
+        // align() cast incoming values down with silent wraparound
+        val integrals = Seq(a, b).filter(integralWidth.contains)
+        if (integrals.isEmpty) IntegerType
+        else integrals.maxBy(integralWidth.indexOf)
       case "real" => DoubleType
       case "timestamptz" => TimestampType
       case "varchar" => StringType
@@ -78,12 +87,17 @@ object CdcApply {
     }
 
   /** Evolve `prev` with `incoming` payload columns: novel fields are
-    * absorbed (reference: lib/moraydump_reorg.js:501-529), and type
-    * conflicts on existing fields PROMOTE along the reference's
-    * typeThatWins lattice (lib/json2pgtypes.js:613-643) — int+real →
-    * real, int+timestamp → timestamp, anything+varchar → varchar —
-    * instead of failing or silently truncating. */
-  def evolveSchema(prev: StructType, incoming: StructType): StructType = {
+    * absorbed (reference: lib/moraydump_reorg.js:501-529) unless listed
+    * in `ignore` (manifest `source.ignore`/`custom_ignore`,
+    * lib/wf_keys_tojson.js:113-134 — one junk producer must not pollute
+    * the table schema forever), and type conflicts on existing fields
+    * PROMOTE along the reference's typeThatWins lattice
+    * (lib/json2pgtypes.js:613-643) — int+real → real, int+timestamp →
+    * timestamp, anything+varchar → varchar — instead of failing or
+    * silently truncating. */
+  def evolveSchema(
+      prev: StructType, incoming: StructType,
+      ignore: Set[String] = Set.empty): StructType = {
     val incomingByName = incoming.fields.map(f => f.name -> f).toMap
     val widened = prev.fields.map { f =>
       incomingByName.get(f.name) match {
@@ -96,7 +110,8 @@ object CdcApply {
       }
     }
     val known = prev.fieldNames.toSet
-    val novel = incoming.fields.filterNot(f => known.contains(f.name))
+    val novel = incoming.fields.filterNot(f =>
+      known.contains(f.name) || ignore.contains(f.name))
     StructType(widened ++ novel.map(_.copy(nullable = true)))
   }
 
@@ -117,28 +132,40 @@ object CdcApply {
       StructField("_txid", LongType), StructField("_etag", StringType),
       StructField("_deleted", BooleanType)))
 
+  /** Per-batch event-count ceiling for the broadcast merge path: below
+    * it, the batch's keys are broadcast and the target side is never
+    * shuffled (see `applyBatch` step 3a). 500k keys ≈ 20-40 MB
+    * broadcast — far under Spark's 8 GB broadcast limit, large enough
+    * that every steady-state CDC micro-batch qualifies. */
+  val BroadcastMergeMaxEvents = 500000L
+
   def applyBatch(
       spark: SparkSession,
       table: LakeTable,
       events: DataFrame,
       batchId: Long = -1L,
       saltBuckets: Int = SaltBuckets,
-      pruneBuckets: Boolean = true): ApplyStats = {
+      pruneBuckets: Boolean = true,
+      queryId: String = "",
+      ignoreFields: Set[String] = Set.empty,
+      extraMetrics: Map[String, Long] = Map.empty,
+      broadcastThreshold: Long = BroadcastMergeMaxEvents): ApplyStats = {
     val prev = table.currentCommit()
     val prevWm = prev.map(_.txidWatermark).getOrElse(0L)
-    if (batchId >= 0 && table.hasBatch(batchId))
+    if (batchId >= 0 && table.hasBatch(batchId, queryId))
       return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
         skippedReplay = true, prevWm, 0)
 
     // schema evolution from the event envelope's payload columns
-    val envelope = Set("_txid", "_op", "_etag", "_bucket", "_deleted")
+    val envelope = Set("_txid", "_op", "_etag", "_bucket", "_deleted",
+      "_origin_dc", "_origin_file")
     val payloadIn = StructType(events.schema.fields.filterNot(f => envelope(f.name)))
     val prevPayload = prev.map(c => StructType(
       c.schema.fields.filterNot(f => envelope(f.name)))).getOrElse(
       StructType(Seq(
         StructField("conv_id", StringType, nullable = false),
         StructField("turn_idx", IntegerType, nullable = false))))
-    val payload = evolveSchema(prevPayload, payloadIn)
+    val payload = evolveSchema(prevPayload, payloadIn, ignoreFields)
     val schema = storedSchema(payload)
 
     // 1. bucket pruning + emptiness in ONE cheap job over the raw batch
@@ -147,13 +174,15 @@ object CdcApply {
     // materialization, ≤ numBuckets values collected). For bulk replays
     // that touch ~every bucket anyway (pruneBuckets=false) the pre-scan
     // is pure overhead and skipped.
+    var batchCount = -1L
     val touched: Seq[Int] =
       if (!pruneBuckets) 0 until table.numBuckets
       else {
         val eAgg = events.agg(
           collect_set(table.bucketCol(col("conv_id"))).as("buckets"),
           count(lit(1)).as("n")).head()
-        if (eAgg.getAs[Long]("n") == 0L)
+        batchCount = eAgg.getAs[Long]("n")
+        if (batchCount == 0L)
           return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
             skippedReplay = false, prevWm, 0)
         eAgg.getSeq[Int](0).sorted
@@ -172,11 +201,9 @@ object CdcApply {
         struct(col("_txid"), coalesce(col("_etag"), lit("")))).as("__w"))
       .select(col("__w.*"))
 
-      // 3.+4. single full-outer MERGE: per key, the winner takes effect
-      // only if its _txid exceeds the stored row's (tombstones are in
-      // `target`, so delete-then-stale-update resolves correctly);
-      // deletes materialize as tombstones with payload nulled. One
-      // target shuffle total — this is the sorted merge-apply stage.
+      // 3. align winners to the stored schema; deletes become tombstones
+      // with payload nulled (the per-key version gate needs them so a
+      // stale update arriving after a newer delete cannot resurrect).
       val target = align(table.readBuckets(spark, touched), schema)
       val keyCols = Model.MergeKeys.toSet
       val isDel = col("_op") === "delete"
@@ -189,99 +216,115 @@ object CdcApply {
         else lit(null).cast(f.dataType).as(f.name)
       }.toSeq: _*)
 
-      val joined = target.alias("t")
-        .join(winnerRows.alias("w"), Model.MergeKeys.toSeq, "full_outer")
-      val takeWinner = col("w._txid").isNotNull &&
-        (col("t._txid").isNull || col("w._txid") > col("t._txid"))
-      val mergedCols = schema.fields.map { f =>
-        if (keyCols(f.name)) col(f.name)
-        else when(takeWinner, col(s"w.`${f.name}`"))
-          .otherwise(col(s"t.`${f.name}`")).as(f.name)
-      }
-      val obs = new org.apache.spark.sql.Observation(s"apply-${table.nextVersion}")
-      val merged = joined.select((mergedCols.toSeq :+
-          takeWinner.as("__take") :+
-          (takeWinner && coalesce(col("w._deleted"), lit(false))).as("__takeDel") :+
-          when(takeWinner, col("w._txid")).as("__takeTx")): _*)
-        .observe(obs,
-          sum(col("__take").cast("long")).as("nEff"),
-          sum(col("__takeDel").cast("long")).as("nDel"),
-          max(col("__takeTx")).as("maxTx"))
-        .drop("__take", "__takeDel", "__takeTx")
-        .withColumn("_bucket", table.bucketCol(col("conv_id")))
-      // 5. salt: hot conv_ids spread across tasks inside their bucket.
-      // Explicit numPartitions marks the exchange user-specified so AQE
-      // cannot coalesce the salt groups back into one task.
-      val shufflePartitions = spark.sessionState.conf.numShufflePartitions
-      val salted = merged.repartition(shufflePartitions, col("_bucket"),
-        pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets.toLong)))
-
       val version = table.nextVersion
       val rel = f"data/c$version%012d"
       val outDir = Paths.get(table.location).resolve(rel)
-      salted.write.mode("overwrite").partitionBy("_bucket").parquet(outDir.toString)
+      val broadcastPath = batchCount >= 0 && batchCount <= broadcastThreshold
 
-      val metrics0 = obs.get
-      val nEff = Option(metrics0("nEff")).map(_.asInstanceOf[Long]).getOrElse(0L)
-      val nDeletes = Option(metrics0("nDel")).map(_.asInstanceOf[Long]).getOrElse(0L)
-      if (nEff == 0L) {
-        // pure replay: nothing took effect — discard the rewrite, keep
-        // the previous snapshot (idempotent no-op)
-        deleteRecursively(outDir)
-        return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
-          skippedReplay = false, prevWm, 0)
+      val (nEff, nDeletes, maxTxRaw) = if (broadcastPath) {
+        // 4a. BROADCAST MERGE (steady-state CDC): the batch's keys are
+        // small, so the TARGET side is never shuffled at all —
+        //   (i)  gate: target's (key, _txid) — a column-pruned narrow
+        //        scan — broadcast-joins the winner keys to find which
+        //        winners take effect (w._txid > stored _txid or new key);
+        //   (ii) merge: survivors = target LEFT ANTI broadcast(effective
+        //        keys) — the full payload streams from the bucket files
+        //        straight to the writer, zero exchanges —
+        //        ∪ effective winners;
+        //   (iii) write partitioned by _bucket: rows arrive already
+        //        grouped by bucket (each task reads one bucket's files),
+        //        so no repartition and no salt are needed — there is no
+        //        key-based shuffle for a hot conversation to skew.
+        // At 100 TB this is the difference between rewriting touched
+        // buckets at disk bandwidth and re-shuffling them every batch.
+        val mergeKeys = Model.MergeKeys.map(col)
+        val tKeys = target.select((mergeKeys :+ col("_txid").as("__t_txid")): _*)
+        val wKeys = winnerRows.select(mergeKeys: _*)
+        val matched = tKeys.join(broadcast(wKeys), Model.MergeKeys.toSeq)
+        val effective = winnerRows
+          .join(broadcast(matched), Model.MergeKeys.toSeq, "left")
+          .where(col("__t_txid").isNull || col("_txid") > col("__t_txid"))
+          .drop("__t_txid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val eff = effective.agg(count(lit(1)).as("n"),
+            coalesce(sum(col("_deleted").cast("long")), lit(0L)).as("nDel"),
+            max(col("_txid")).as("maxTx")).head()
+          val n = eff.getLong(0)
+          if (n == 0L)
+            return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
+              skippedReplay = false, prevWm, 0)
+          val effKeys = effective.select(mergeKeys: _*)
+          val merged = target
+            .join(broadcast(effKeys), Model.MergeKeys.toSeq, "left_anti")
+            .unionByName(effective.coalesce(1))
+            .withColumn("_bucket", table.bucketCol(col("conv_id")))
+          merged.write.mode("overwrite").partitionBy("_bucket")
+            .parquet(outDir.toString)
+          (n, eff.getLong(1), eff.getLong(2))
+        } finally effective.unpersist()
+      } else {
+        // 4b. FULL-OUTER MERGE (bulk loads/replays, batch ~ table size):
+        // per key the winner takes effect only if its _txid exceeds the
+        // stored row's. One target shuffle total — the sorted
+        // merge-apply stage.
+        val joined = target.alias("t")
+          .join(winnerRows.alias("w"), Model.MergeKeys.toSeq, "full_outer")
+        val takeWinner = col("w._txid").isNotNull &&
+          (col("t._txid").isNull || col("w._txid") > col("t._txid"))
+        val mergedCols = schema.fields.map { f =>
+          if (keyCols(f.name)) col(f.name)
+          else when(takeWinner, col(s"w.`${f.name}`"))
+            .otherwise(col(s"t.`${f.name}`")).as(f.name)
+        }
+        val obs = new org.apache.spark.sql.Observation(s"apply-$version")
+        val merged = joined.select((mergedCols.toSeq :+
+            takeWinner.as("__take") :+
+            (takeWinner && coalesce(col("w._deleted"), lit(false))).as("__takeDel") :+
+            when(takeWinner, col("w._txid")).as("__takeTx")): _*)
+          .observe(obs,
+            sum(col("__take").cast("long")).as("nEff"),
+            sum(col("__takeDel").cast("long")).as("nDel"),
+            max(col("__takeTx")).as("maxTx"))
+          .drop("__take", "__takeDel", "__takeTx")
+          .withColumn("_bucket", table.bucketCol(col("conv_id")))
+        // salt: hot conv_ids spread across tasks inside their bucket.
+        // Explicit numPartitions marks the exchange user-specified so
+        // AQE cannot coalesce the salt groups back into one task.
+        val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+        val salted = merged.repartition(shufflePartitions, col("_bucket"),
+          pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets.toLong)))
+        salted.write.mode("overwrite").partitionBy("_bucket").parquet(outDir.toString)
+
+        val metrics0 = obs.get
+        val n = Option(metrics0("nEff")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        val nDel = Option(metrics0("nDel")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (n == 0L) {
+          // pure replay: nothing took effect — discard the rewrite,
+          // keep the previous snapshot (idempotent no-op)
+          deleteRecursively(outDir)
+          return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
+            skippedReplay = false, prevWm, 0)
+        }
+        (n, nDel, metrics0("maxTx").asInstanceOf[Long])
       }
-      val maxTx = math.max(prevWm, metrics0("maxTx").asInstanceOf[Long])
+      val maxTx = math.max(prevWm, maxTxRaw)
 
       // 6. lineage: per-bucket row counts straight from the parquet
       // footers of the just-written files — driver-side metadata reads,
       // no Spark job, no scheduling latency
-      val countsByBucket: Map[Int, Long] = footerRowCounts(outDir)
+      val countsByBucket: Map[Int, Long] = LakeTable.footerRowCounts(outDir)
       val rewritten: Map[Int, Option[String]] = touched.map { b =>
         b -> (if (countsByBucket.contains(b)) Some(s"$rel/_bucket=$b") else None)
       }.toMap
 
       table.commit(schema, rewritten, countsByBucket, maxTx, batchId, Map(
         "events" -> nEff, "upserts" -> (nEff - nDeletes), "deletes" -> nDeletes,
-        "bucketsTouched" -> touched.length.toLong))
+        "bucketsTouched" -> touched.length.toLong,
+        "broadcastMerge" -> (if (broadcastPath) 1L else 0L)) ++ extraMetrics,
+        queryId)
       ApplyStats(version, nEff, nEff - nDeletes, nDeletes,
         skippedReplay = false, maxTx, touched.length)
-  }
-
-  /** Per-bucket row counts from parquet footers (driver-side metadata
-    * only; footer reads are O(KB) each). */
-  private def footerRowCounts(outDir: java.nio.file.Path): Map[Int, Long] = {
-    import scala.jdk.CollectionConverters._
-    if (!Files.isDirectory(outDir)) return Map.empty
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val s = Files.list(outDir)
-    val bucketDirs = try s.iterator().asScala
-      .filter(_.getFileName.toString.startsWith("_bucket=")).toList
-    finally s.close()
-    import java.util.concurrent.Executors
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = Executors.newFixedThreadPool(16)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val futures = bucketDirs.map { dir =>
-        Future {
-          val bucket = dir.getFileName.toString.stripPrefix("_bucket=").toInt
-          val fs = Files.list(dir)
-          val parts = try fs.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toList
-          finally fs.close()
-          val n = parts.map { f =>
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(f.toUri), conf)
-            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try rd.getRecordCount finally rd.close()
-          }.sum
-          bucket -> n
-        }
-      }
-      Await.result(Future.sequence(futures), Duration.Inf).toMap
-    } finally pool.shutdown()
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

@@ -27,13 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object TagStats {
 
-  def measure(df: DataFrame, tags: Seq[String]): DataFrame = {
+  /** `approx = true` swaps exact `countDistinct` (one extra shuffle per
+    * tag for the distinct expansion) for HyperLogLog++
+    * `approx_count_distinct` (single partial-aggregable pass, ±~2%) —
+    * the 100 TB configuration; classification thresholds are log-scale,
+    * so ±2% on U never flips a route in practice. */
+  def measure(df: DataFrame, tags: Seq[String], approx: Boolean = false): DataFrame = {
     val aggs = tags.flatMap { t =>
       val c = col(t).cast("string")
       Seq(
         count(c).as(s"${t}__d"),
         sum(c.isNull.cast("long")).as(s"${t}__m"),
-        countDistinct(c).as(s"${t}__u"),
+        (if (approx) approx_count_distinct(c, 0.005) else countDistinct(c))
+          .as(s"${t}__u"),
         coalesce(sum(octet_length(c).cast("long")), lit(0L)).as(s"${t}__ib"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)

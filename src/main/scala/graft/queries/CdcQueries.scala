@@ -20,17 +20,27 @@ import graft.table.LakeTable
 object CdcQueries {
   import Tables.t
 
-  /** Map the driver's events table onto the change-event envelope. */
-  def asChangeEvents(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").select(
-      (col("event_id") + 1L).as("_txid"),
-      when(col("value") < 5.0, "delete").otherwise("update").as("_op"),
-      substring(md5(concat_ws("|", col("user_id"), col("event_type"),
-        col("value").cast("string"))), 1, 8).as("_etag"),
-      col("user_id").cast("string").as("conv_id"),
-      // stable small int per event_type — the "turn" within the key
-      (length(col("event_type")) * 7 + ascii(col("event_type"))).cast("int").as("turn_idx"),
-      col("user_id"), col("event_type"), col("value"), col("ts"))
+  /** Map the driver's events table onto the change-event envelope.
+    * turn_idx must be INJECTIVE in event_type — a collision would merge
+    * two distinct (user_id, event_type) streams and silently diverge
+    * from the oracle — so it's the dense rank of event_type over the
+    * (tiny) distinct set, broadcast-joined back. */
+  def asChangeEvents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, d, "events")
+    val dim = ev.select("event_type").distinct()
+      .withColumn("turn_idx",
+        (row_number().over(Window.orderBy("event_type")) - 1).cast("int"))
+    ev.join(broadcast(dim), Seq("event_type"))
+      .select(
+        (col("event_id") + 1L).as("_txid"),
+        when(col("value") < 5.0, "delete").otherwise("update").as("_op"),
+        substring(md5(concat_ws("|", col("user_id"), col("event_type"),
+          col("value").cast("string"))), 1, 8).as("_etag"),
+        col("user_id").cast("string").as("conv_id"),
+        col("turn_idx"),
+        col("user_id"), col("event_type"), col("value"), col("ts"))
+  }
 
   private def scratch(name: String): String = {
     val base = Paths.get("/root/repo/target/scratch")

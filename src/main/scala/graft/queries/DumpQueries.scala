@@ -1,0 +1,95 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.MorayDump
+
+/** The reference's own input/provenance surface as driver queries:
+  * the Moray dump format (S1-S3), lineage origin columns (P6), and
+  * JSON array-index path access (jsonbquery.md:644-718). */
+object DumpQueries {
+  import Tables.t
+
+  private def scratch(name: String): String = {
+    val base = Paths.get("/root/repo/target/scratch")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, name).toString
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // Moray dump round-trip: events rendered as a header+entry dump
+    // (S4 wrap, lib/wrap_values.js:51-88), re-read positionally via the
+    // header (S2, lib/moraydump_reorg.js:316-351), `_value` JSON doc
+    // extracted (S3, lib/extract_values.js:47-90) and aggregated. The
+    // oracle computes the same aggregate straight off the parquet
+    // table, so every hop of the dump path must be lossless.
+    QueryDef("q44_moray_dump_roundtrip",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val asDump = ev.select(
+          col("event_id").cast("string").as("_id"),
+          md5(col("event_id").cast("string")).as("_key"),
+          substring(md5(concat_ws("|", col("user_id"), col("event_type"),
+            col("value").cast("string"))), 1, 8).as("_etag"),
+          (unix_timestamp(col("ts")) * 1000).cast("string").as("_mtime"),
+          to_json(struct(col("user_id"), col("event_type"), col("value"))).as("_value"))
+        val dir = scratch("moraydump-")
+        MorayDump.dumpLines(asDump, "events").coalesce(4)
+          .write.mode("overwrite").text(dir)
+        val back = MorayDump.readDump(s, dir)
+        back.select(
+            get_json_object(col("_value"), "$.event_type").as("event_type"),
+            get_json_object(col("_value"), "$.user_id").cast("long").as("user_id"),
+            col("_id").cast("long").as("event_id"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("user_id").as("sum_uid"),
+            max("event_id").as("max_eid"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        CAST(sum(user_id) AS BIGINT) AS sum_uid, max(event_id) AS max_eid
+        FROM events GROUP BY event_type""")),
+
+    // lineage origin columns (P6, lib/moraydump_reorg.js:179-192,
+    // 589-592): events written to per-datacenter directories, read back
+    // through the file source's _metadata.file_path, origin extracted
+    // and counted. The DC assignment (event_id % 3) is reproducible in
+    // the oracle.
+    QueryDef("q45_lineage_origin",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val dir = scratch("lineage-")
+        ev.withColumn("dc",
+            concat(lit("dc"), pmod(col("event_id"), lit(3L)).cast("string")))
+          .write.mode("overwrite").partitionBy("dc").json(dir)
+        s.read.option("recursiveFileLookup", "true").text(dir)
+          .select(regexp_extract(col("_metadata.file_path"), "dc=([^/]+)", 1)
+            .as("origin_datacenter"))
+          .groupBy("origin_datacenter")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT 'dc' || CAST(event_id % 3 AS VARCHAR) AS origin_datacenter,
+        count(*) AS n FROM events GROUP BY 1""")),
+
+    // JSON array-index path access (`#>` with indexes / `$.a[0].b`,
+    // jsonbquery.md:644-718): a composed doc with an array of objects,
+    // filtered and projected by positional path. The oracle knows the
+    // construction, so the expected output is direct SQL.
+    QueryDef("q46_json_array_index",
+      (s, d) => {
+        val k = get_json_object(col("props"), "$.k").cast("int")
+        val doc = to_json(struct(array(
+          struct(k.as("v"), col("event_type").as("t")),
+          struct((k * 2).as("v"), lit("x").as("t"))).as("items")))
+        t(s, d, "events").select(col("event_id"), doc.as("doc"))
+          .withColumn("v0", get_json_object(col("doc"), "$.items[0].v").cast("int"))
+          .withColumn("t1", get_json_object(col("doc"), "$.items[1].t"))
+          .where(col("v0").between(5, 15))
+          .select("event_id", "v0", "t1")
+      },
+      Some("""SELECT event_id, k AS v0, 'x' AS t1 FROM (
+        SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
+        FROM events) WHERE k BETWEEN 5 AND 15""")))
+}

@@ -50,5 +50,38 @@ object StatQueries {
         .where(get_json_object(col("props"), "$.k") === "7")
         .groupBy("event_type").agg(count(lit(1)).as("n")),
       Some("""SELECT event_type, count(*) AS n FROM events
-        WHERE json_extract_string(props, '$.k') = '7' GROUP BY event_type""")))
+        WHERE json_extract_string(props, '$.k') = '7' GROUP BY event_type""")),
+
+    // RECURSIVE JSONB containment `@>` (jsonbquery.md:270-306, 350-387,
+    // 477-512): nested-object + array-element needles over a composed
+    // document, evaluated by the native JsonContainsExpr and oracled by
+    // DuckDB's json_contains over a structurally identical doc
+    QueryDef("q39b_jsonb_containment_nested",
+      (s, d) => {
+        import graft.functions.JsonContainsExpr.jsonContains
+        val k = get_json_object(col("props"), "$.k").cast("int")
+        val doc = to_json(struct(
+          struct(col("event_type").as("type"),
+            array(concat(lit("k"), k),
+              concat(lit("u"), pmod(col("user_id"), lit(10L)))).as("tags")).as("meta"),
+          k.as("k")))
+        t(s, d, "events").select(col("event_type"), doc.as("doc"))
+          .groupBy("event_type")
+          .agg(
+            sum(when(jsonContains(col("doc"),
+              lit("""{"meta":{"tags":["k7"]}}""")), 1L).otherwise(0L)).as("n_tag_k7"),
+            sum(when(jsonContains(col("doc"),
+              lit("""{"k":7,"meta":{"type":"click"}}""")), 1L).otherwise(0L)).as("n_click_k7"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT event_type,
+        CAST(sum(CASE WHEN json_contains(doc, '{"meta":{"tags":["k7"]}}') THEN 1 ELSE 0 END) AS BIGINT) AS n_tag_k7,
+        CAST(sum(CASE WHEN json_contains(doc, '{"k":7,"meta":{"type":"click"}}') THEN 1 ELSE 0 END) AS BIGINT) AS n_click_k7,
+        count(*) AS n
+        FROM (SELECT event_type,
+          json_object('meta', json_object('type', event_type,
+            'tags', ['k'||k, 'u'||CAST(user_id%10 AS VARCHAR)]), 'k', k) AS doc
+          FROM (SELECT event_type, user_id,
+            CAST(json_extract_string(props,'$.k') AS INTEGER) AS k FROM events))
+        GROUP BY event_type""")))
 }

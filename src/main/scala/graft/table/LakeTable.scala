@@ -33,7 +33,8 @@ case class Commit(
     schemaJson: String,
     buckets: Map[String, String],
     rowCounts: Map[String, Long],
-    metrics: Map[String, Long]) {
+    metrics: Map[String, Long],
+    queryId: String = "") {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
 
@@ -66,13 +67,36 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
   def bucketCol(conv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(conv), lit(numBuckets.toLong)).cast("int")
 
-  def currentCommit(): Option[Commit] = {
-    if (!Files.isDirectory(commitsDir)) return None
-    val latest = Files.list(commitsDir).iterator().asScala
+  /** Cached parse of the commit log. The cache is keyed on the set of
+    * commit FILENAMES (a cheap directory listing), so external writers
+    * are still picked up, but the JSON bodies are deserialized at most
+    * once per new commit — without this, a long stream's per-batch
+    * idempotence check (hasBatch) re-parses every commit every batch,
+    * O(commits²) over the stream's lifetime. */
+  @volatile private var commitCache: (Seq[String], Seq[Commit]) = (Seq.empty, Seq.empty)
+
+  private def listCommitFiles(): Seq[Path] = {
+    if (!Files.isDirectory(commitsDir)) return Seq.empty
+    val s = Files.list(commitsDir)
+    try s.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".json"))
-      .toSeq.sortBy(_.getFileName.toString).lastOption
-    latest.map(p => Serialization.read[Commit](Files.readString(p)))
+      .toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
   }
+
+  private def cachedCommits(): Seq[Commit] = {
+    val files = listCommitFiles()
+    val names = files.map(_.getFileName.toString)
+    val cached = commitCache
+    if (cached._1 == names) cached._2
+    else {
+      val parsed = files.map(p => Serialization.read[Commit](Files.readString(p)))
+      commitCache = (names, parsed)
+      parsed
+    }
+  }
+
+  def currentCommit(): Option[Commit] = cachedCommits().lastOption
 
   def txidWatermark: Long = currentCommit().map(_.txidWatermark).getOrElse(0L)
 
@@ -101,18 +125,7 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
 
   /** All commits in version order (the commit log is tiny: one small
     * JSON per commit). */
-  def commitLog(): Seq[Commit] = {
-    if (!Files.isDirectory(commitsDir)) return Seq.empty
-    val files = {
-      val s = Files.list(commitsDir)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
-          .toSeq.sortBy(_.getFileName.toString)
-      } finally s.close()
-    }
-    files.map(p => Serialization.read[Commit](Files.readString(p)))
-  }
+  def commitLog(): Seq[Commit] = cachedCommits()
 
   private def readCommit(spark: SparkSession, c: Commit, buckets: Seq[Int]): DataFrame = {
     val live = buckets.flatMap(b => c.buckets.get(b.toString))
@@ -161,7 +174,8 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       newRowCounts: Map[Int, Long],
       txidWatermark: Long,
       batchId: Long,
-      metrics: Map[String, Long]): Commit = {
+      metrics: Map[String, Long],
+      queryId: String = ""): Commit = {
     Files.createDirectories(commitsDir)
     val prev = currentCommit()
     val version = prev.map(_.version + 1).getOrElse(1L)
@@ -172,7 +186,7 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       version, batchId, txidWatermark, schema.json,
       (carried -- dropped) ++ rewritten.collect { case (k, Some(v)) => k.toString -> v },
       (carriedCounts -- dropped) ++ newRowCounts.map { case (k, v) => k.toString -> v },
-      metrics)
+      metrics, queryId)
     val tmp = Files.createTempFile(commitsDir, ".tmp-", ".json")
     Files.writeString(tmp, Serialization.write(c))
     val target = commitsDir.resolve(f"$version%012d.json")
@@ -211,16 +225,60 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
         c.buckets.keys.map(_.toInt).map { b =>
           b -> (if (dirs.contains(s"_bucket=$b")) Some(s"$rel/_bucket=$b") else None)
         }.toMap
-      commit(c.schema, rewritten, Map.empty, c.txidWatermark, -1L,
+      // fresh post-compaction row counts: the tombstones just dropped
+      // must leave the per-bucket lineage counts too
+      val counts = LakeTable.footerRowCounts(root.resolve(rel))
+      commit(c.schema, rewritten, counts, c.txidWatermark, -1L,
         Map("compaction" -> 1L, "tombstoneHorizon" -> tombstoneHorizon))
     }
 
   /** True if a streaming micro-batch with this id was already committed
-    * (crash-replay idempotence check). */
-  def hasBatch(batchId: Long): Boolean = {
-    if (!Files.isDirectory(commitsDir) || batchId < 0) return false
-    Files.list(commitsDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .exists(p => Serialization.read[Commit](Files.readString(p)).batchId == batchId)
+    * BY THE SAME STREAM (crash-replay idempotence check). Scoped by
+    * (queryId, batchId) like Delta's txnAppId/txnVersion: Spark batch
+    * ids restart at 0 per checkpoint, so a bare-batchId check would
+    * silently drop the first batches of any new checkpoint pointed at
+    * an existing table. */
+  def hasBatch(batchId: Long, queryId: String = ""): Boolean = {
+    if (batchId < 0) return false
+    cachedCommits().exists(c => c.batchId == batchId && c.queryId == queryId)
+  }
+}
+
+object LakeTable {
+  /** Per-bucket row counts from the parquet footers under a commit's
+    * data dir (driver-side metadata only; footer reads are O(KB) each,
+    * parallelized). Layout: `<dir>/_bucket=N/part-*.parquet`. */
+  def footerRowCounts(outDir: Path): Map[Int, Long] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(outDir)) return Map.empty
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val s = Files.list(outDir)
+    val bucketDirs = try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_bucket=")).toList
+    finally s.close()
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = bucketDirs.map { dir =>
+        Future {
+          val bucket = dir.getFileName.toString.stripPrefix("_bucket=").toInt
+          val fs = Files.list(dir)
+          val parts = try fs.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toList
+          finally fs.close()
+          val n = parts.map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.toUri), conf)
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try rd.getRecordCount finally rd.close()
+          }.sum
+          bucket -> n
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf).toMap
+    } finally pool.shutdown()
   }
 }

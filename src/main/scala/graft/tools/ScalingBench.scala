@@ -93,6 +93,53 @@ object ScalingBench {
     } finally spark.stop()
   }
 
+  /** Steady-state incremental apply: a pre-loaded table takes a train
+    * of SMALL batches — the CDC shape the broadcast merge path exists
+    * for. `forceOuter` pins the old full-outer plan so the two paths'
+    * wall/CPU cost per event can be A/B'd on identical input. */
+  def runSteady(cpus: Int, baseEvents: Long, batchEvents: Long,
+      nBatches: Int, forceOuter: Boolean, workDir: String): RunResult = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-steady-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cpuListener = new CpuTimeListener
+    spark.sparkContext.addSparkListener(cpuListener)
+    try {
+      val total = baseEvents + batchEvents * nBatches
+      val logDir = s"$workDir/changelog"
+      Corpus.changeEvents(spark, total,
+          nConvs = math.max(1000, (total / 200).toInt), maxTurns = 40,
+          partitions = cpus * 4)
+        .write.mode("overwrite").parquet(logDir)
+      val events = spark.read.parquet(logDir)
+      val mode = if (forceOuter) "outer" else "bcast"
+      val table = new LakeTable(s"$workDir/table-$cpus-$mode", numBuckets = 64)
+      // base load (untimed): the table the steady batches merge into
+      CdcApply.applyBatch(spark, table,
+        events.where(org.apache.spark.sql.functions.col("_txid") <= baseEvents),
+        pruneBuckets = false)
+      val t0 = System.nanoTime()
+      val cpuStart = cpuListener.cpuNanos.get()
+      (0 until nBatches).foreach { i =>
+        val lo = baseEvents + i * batchEvents + 1
+        val hi = baseEvents + (i + 1) * batchEvents
+        CdcApply.applyBatch(spark, table,
+          events.where(org.apache.spark.sql.functions.col("_txid").between(lo, hi)),
+          broadcastThreshold = if (forceOuter) 0L else CdcApply.BroadcastMergeMaxEvents)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val cpu0 = cpuListener.cpuNanos.get() - cpuStart
+      RunResult(cpus, batchEvents * nBatches, secs, cpu0 / 1e9)
+    } finally spark.stop()
+  }
+
   /** Generation-only microbench: counts the corpus (no shuffle/persist/
     * write) — isolates the expression layer when diagnosing scaling. */
   def genOnly(cpus: Int, nEvents: Long): Unit = {
@@ -118,6 +165,19 @@ object ScalingBench {
     // single pinned run (drive with `taskset -c 0-(N-1)` so local[N]
     // really has N cores — on one box the JVM otherwise borrows idle
     // cores for GC and shuffle threads, skewing the N vs 4N compare)
+    // steady-state A/B: runMain ... steady <cpus> <baseEvents> <batchEvents> <nBatches> <bcast|outer>
+    case Some("steady") =>
+      val cpus = args(1).toInt
+      val base = if (args.length > 2) args(2).toLong else 4000000L
+      val per = if (args.length > 3) args(3).toLong else 100000L
+      val nb = if (args.length > 4) args(4).toInt else 20
+      val mode = if (args.length > 5) args(5) else "bcast"
+      val r = runSteady(cpus, base, per, nb, forceOuter = mode == "outer",
+        s"/root/repo/target/steady-$cpus-$mode-${System.nanoTime()}")
+      println(f"""{"bench":"cdc_steady","mode":"$mode","cpus":$cpus,""" +
+        f""""base_events":$base,"batch_events":$per,"n_batches":$nb,""" +
+        f""""secs":${r.secs}%.1f,"events_per_sec":${r.throughput}%.0f,""" +
+        f""""cpu_secs":${r.cpuSecs}%.1f,"cpu_us_per_event":${r.cpuSecs * 1e6 / r.events}%.1f}""")
     case Some("single") =>
       val cpus = args(1).toInt
       val nEvents = if (args.length > 2) args(2).toLong else 2000000L

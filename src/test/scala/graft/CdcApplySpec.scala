@@ -161,6 +161,53 @@ class CdcApplySpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getAs[String]("text") == "v30")
   }
 
+  test("broadcast and full-outer merge paths produce identical final state") {
+    val events = corpus(2000)
+    val segs = Seq(
+      events.where(col("_txid") <= 700),
+      events.where(col("_txid") > 700 && col("_txid") <= 1400),
+      events.where(col("_txid") > 1400))
+    val tA = new LakeTable(tmpDir("path-bcast"), numBuckets = 16)
+    val tB = new LakeTable(tmpDir("path-fullouter"), numBuckets = 16)
+    segs.foreach { s =>
+      CdcApply.applyBatch(spark, tA, s) // default: broadcast path
+      CdcApply.applyBatch(spark, tB, s, broadcastThreshold = 0L) // force full-outer
+    }
+    assert(tA.currentCommit().get.metrics("broadcastMerge") == 1L)
+    assert(tB.currentCommit().get.metrics("broadcastMerge") == 0L)
+    assertSameRows(finalPayload(tA), finalPayload(tB))
+    assertSameRows(finalPayload(tA), Corpus.oracleFinalState(events))
+  }
+
+  test("ignore list: novel junk field does not widen the table schema") {
+    val events = corpus(800)
+    val junked = events.withColumn("junk_debug_field", lit("noise"))
+    val table = new LakeTable(tmpDir("ignore"), numBuckets = 8)
+    CdcApply.applyBatch(spark, table, junked,
+      ignoreFields = Set("junk_debug_field"))
+    val fields = table.currentCommit().get.schema.fieldNames.toSet
+    assert(!fields.contains("junk_debug_field"), s"schema polluted: $fields")
+    // without the ignore list the same field IS absorbed (P3 default)
+    val t2 = new LakeTable(tmpDir("absorb"), numBuckets = 8)
+    CdcApply.applyBatch(spark, t2, junked)
+    assert(t2.currentCommit().get.schema.fieldNames.contains("junk_debug_field"))
+  }
+
+  test("batchId idempotence is scoped by queryId (new checkpoint restarts at 0 safely)") {
+    val events = corpus(600)
+    val table = new LakeTable(tmpDir("qid"), numBuckets = 8)
+    val a = events.where(col("_txid") <= 300)
+    val b = events.where(col("_txid") > 300)
+    CdcApply.applyBatch(spark, table, a, batchId = 0, queryId = "streamA")
+    // same stream replays batch 0 → skipped
+    assert(CdcApply.applyBatch(spark, table, a, batchId = 0,
+      queryId = "streamA").skippedReplay)
+    // a DIFFERENT stream's batch 0 must NOT be skipped
+    val s = CdcApply.applyBatch(spark, table, b, batchId = 0, queryId = "streamB")
+    assert(!s.skippedReplay && s.applied > 0)
+    assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
+  }
+
   test("bucket pruning: second batch touching one conv rewrites few buckets") {
     val events = corpus(2000)
     val table = new LakeTable(tmpDir("prune"), numBuckets = 16)

@@ -79,6 +79,48 @@ class CdcStreamSpec extends SparkSpec {
       l.contains("\"bucketsTouched\":") && l.contains("\"applied\":")))
   }
 
+  test("lineage: per-datacenter origin counts ride into the commit metrics") {
+    val events = Corpus.changeEvents(spark, 900, nConvs = 20, maxTurns = 6)
+    val logDir = tmpDir("lineage-log")
+    // multi-DC layout: <changelogDir>/<dc>/segment (reference P6,
+    // lib/moraydump_reorg.js:179-192 — origin_datacenter/origin_file)
+    CdcStream.writeSegment(events.where(col("_txid") <= 450), s"$logDir/dcA/seg0")
+    CdcStream.writeSegment(events.where(col("_txid") > 450), s"$logDir/dcB/seg0")
+    val table = new LakeTable(tmpDir("lineage-table"), numBuckets = 8)
+    CdcStream.runOnce(spark, logDir, table, tmpDir("lineage-ckpt"),
+      maxFilesPerTrigger = 16)
+    val metrics = table.commitLog().flatMap(_.metrics)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    // lineage counts RAW changelog lines per DC (incl. duplicate-txid
+    // re-emissions — provenance is about what arrived, not what won)
+    val expectA = events.where(col("_txid") <= 450).count()
+    val expectB = events.where(col("_txid") > 450).count()
+    assert(metrics.getOrElse("dc:dcA", 0L) == expectA, s"metrics: $metrics")
+    assert(metrics.getOrElse("dc:dcB", 0L) == expectB, s"metrics: $metrics")
+    assert(metrics.getOrElse("originFiles", 0L) >= 2L, s"metrics: $metrics")
+    assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
+  }
+
+  test("new checkpoint over an existing table must not drop its batch 0 (queryId scope)") {
+    val e1 = Corpus.changeEvents(spark, 500, nConvs = 20, maxTurns = 6)
+    val log1 = tmpDir("qid-log1")
+    writeChangelog(log1, e1, Seq((1L, 500L)))
+    val table = new LakeTable(tmpDir("qid-table"), numBuckets = 8)
+    CdcStream.runOnce(spark, s"$log1/chunk*", table, tmpDir("qid-ckpt1"))
+    assert(table.txidWatermark == 500L)
+    // a SECOND stream (fresh checkpoint → its batch ids restart at 0)
+    // carries genuinely new events; a bare-batchId idempotence check
+    // would silently skip them
+    import spark.implicits._
+    val e2 = e1.withColumn("_txid", col("_txid") + 1000L)
+      .withColumn("text", concat(lit("v2 "), coalesce(col("text"), lit(""))))
+    val log2 = tmpDir("qid-log2")
+    writeChangelog(log2, e2, Seq((1001L, 1500L)))
+    CdcStream.runOnce(spark, s"$log2/chunk*", table, tmpDir("qid-ckpt2"))
+    assert(table.txidWatermark == 1500L,
+      s"second stream's batch 0 was dropped (watermark ${table.txidWatermark})")
+  }
+
   test("schema evolution arrives mid-stream: tool column absorbed from late segments") {
     // corpus: tool is null before the evolve point → NDJSON omits the
     // key entirely → early segments genuinely lack the field

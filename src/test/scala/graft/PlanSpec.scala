@@ -80,6 +80,59 @@ class PlanSpec extends SparkSpec {
       s"merge touched ${stats.bucketsTouched} of $allBuckets buckets")
   }
 
+  test("broadcast merge: the table rewrite job has ZERO shuffle exchanges") {
+    val table = new LakeTable(tmpDir("planbcast"), numBuckets = 16)
+    val events = Corpus.changeEvents(spark, 3000, nConvs = 50, maxTurns = 8)
+    CdcApply.applyBatch(spark, table, events.where(col("_txid") <= 2000))
+    // capture every query execution during the incremental apply
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    // count only exchanges the job EXECUTES: the tree traversal stops at
+    // InMemoryTableScan leaves, so the cached batch's own groupBy
+    // exchange (materialized in the earlier stats job, merely RENDERED
+    // under InMemoryRelation in plan strings) doesn't count
+    def executedShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+      val root = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      root.collect {
+        case _: ShuffleExchangeExec => 1
+        case _: ShuffleQueryStageExec => 1
+        case r: ReusedExchangeExec if r.child.isInstanceOf[ShuffleExchangeExec] => 1
+      }.sum
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val s = CdcApply.applyBatch(spark, table, events.where(col("_txid") > 2000))
+      assert(s.applied > 0)
+      // listener delivery is async — poll for the write-job plan
+      import scala.jdk.CollectionConverters._
+      def writePlans = plans.iterator().asScala.toSeq.filter { qe =>
+        val p = qe.executedPlan.toString
+        p.contains("WriteFiles") || p.contains("InsertIntoHadoopFsRelation")
+      }
+      var tries = 0
+      while (writePlans.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val wp = writePlans
+      assert(wp.nonEmpty, "no write-job plan captured")
+      wp.foreach { qe =>
+        val n = executedShuffles(qe.executedPlan)
+        assert(n == 0,
+          s"$n shuffle exchange(s) in broadcast-merge write plan:\n${qe.executedPlan}")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("text-analysis queries contain no UDFs (pure codegen expressions)") {
     Seq("q22_text_stats", "q23_quality_score", "q25_fingerprint").foreach { n =>
       val p = planOf(n)

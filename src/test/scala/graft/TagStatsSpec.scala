@@ -27,4 +27,24 @@ class TagStatsSpec extends SparkSpec {
     assert(s.getAs[Long]("d") == 3 && s.getAs[Long]("m") == 1)
     assert(s.getAs[Long]("u") == 2 && s.getAs[Long]("ib") == 6)
   }
+
+  test("approx mode: U within 2% of exact, same routing (the 100 TB path)") {
+    val df = (0 until 5000).map { i =>
+      (s"row$i", s"group${i % 7}", s"val${i % 911}")
+    }.toDF("id", "status", "mid")
+    val tags = Seq("id", "status", "mid")
+    val exact = TagStats.measure(df, tags)
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[Long]("u")).toMap
+    val approx = TagStats.measure(df, tags, approx = true)
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[Long]("u")).toMap
+    tags.foreach { t =>
+      val err = math.abs(approx(t) - exact(t)).toDouble / exact(t)
+      assert(err <= 0.02, s"$t: approx=${approx(t)} exact=${exact(t)} err=$err")
+    }
+    val routeExact = TagStats.classify(TagStats.measure(df, tags))
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[String]("route")).toMap
+    val routeApprox = TagStats.classify(TagStats.measure(df, tags, approx = true))
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[String]("route")).toMap
+    assert(routeExact == routeApprox)
+  }
 }
