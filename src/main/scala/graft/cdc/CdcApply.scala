@@ -139,6 +139,12 @@ object CdcApply {
     * that every steady-state CDC micro-batch qualifies. */
   val BroadcastMergeMaxEvents = 500000L
 
+  /** Delta dirs a bucket may stack up before the next apply folds them
+    * into a fresh base (MERGE-ON-READ depth bound). Read amplification
+    * and resolve-window width stay O(MaxDeltaDepth); steady-state apply
+    * cost stays O(batch) with a 1/MaxDeltaDepth amortized rewrite. */
+  val MaxDeltaDepth = 8
+
   def applyBatch(
       spark: SparkSession,
       table: LakeTable,
@@ -149,7 +155,8 @@ object CdcApply {
       queryId: String = "",
       ignoreFields: Set[String] = Set.empty,
       extraMetrics: Map[String, Long] = Map.empty,
-      broadcastThreshold: Long = BroadcastMergeMaxEvents): ApplyStats = {
+      broadcastThreshold: Long = BroadcastMergeMaxEvents,
+      maxDeltaDepth: Int = MaxDeltaDepth): ApplyStats = {
     val prev = table.currentCommit()
     val prevWm = prev.map(_.txidWatermark).getOrElse(0L)
     if (batchId >= 0 && table.hasBatch(batchId, queryId))
@@ -204,7 +211,6 @@ object CdcApply {
       // 3. align winners to the stored schema; deletes become tombstones
       // with payload nulled (the per-key version gate needs them so a
       // stale update arriving after a newer delete cannot resurrect).
-      val target = align(table.readBuckets(spark, touched), schema)
       val keyCols = Model.MergeKeys.toSet
       val isDel = col("_op") === "delete"
       val winnerRows = winners.select(schema.fields.map { f =>
@@ -220,6 +226,22 @@ object CdcApply {
       val rel = f"data/c$version%012d"
       val outDir = Paths.get(table.location).resolve(rel)
       val broadcastPath = batchCount >= 0 && batchCount <= broadcastThreshold
+      val deltaDepth = prev.map(_.deltaDepth).getOrElse(0)
+      // first commit writes a base (a delta with nothing under it is just
+      // a base with extra read cost); after that, stack one delta file
+      // per batch until the depth bound, then fold
+      val deltaPath = broadcastPath && prev.nonEmpty && deltaDepth < maxDeltaDepth
+      // a REWRITE that folds delta files must cover every bucket a delta
+      // row could belong to (delta files span buckets) — so folds and
+      // bulk replays rewrite all buckets; pruned rewrites without deltas
+      // rewrite only the batch's buckets
+      val rewriteTouched: Seq[Int] =
+        if (!deltaPath && prev.exists(_.deltaFiles.nonEmpty)) 0 until table.numBuckets
+        else touched
+      val foldsDeltas = !deltaPath && rewriteTouched.length == table.numBuckets
+      // resolved view of the buckets a REWRITE covers (lazy — the delta
+      // path never executes it)
+      lazy val target = align(table.readBuckets(spark, rewriteTouched), schema)
 
       val (nEff, nDeletes, maxTxRaw) = if (broadcastPath) {
         // 4a. BROADCAST MERGE (steady-state CDC): the batch's keys are
@@ -238,9 +260,15 @@ object CdcApply {
         // At 100 TB this is the difference between rewriting touched
         // buckets at disk bandwidth and re-shuffling them every batch.
         val mergeKeys = Model.MergeKeys.map(col)
-        val tKeys = target.select((mergeKeys :+ col("_txid").as("__t_txid")): _*)
+        // gate over the RAW physical rows (base + deltas, unresolved):
+        // the broadcast inner join prunes to the batch's keys FIRST, so
+        // the per-key max-txid aggregation runs on ≤ |winners|·depth
+        // rows instead of window-resolving the whole touched table
+        val rawKeys = align(table.readBuckets(spark, touched, resolve = false), schema)
+          .select((mergeKeys :+ col("_txid").as("__t_txid")): _*)
         val wKeys = winnerRows.select(mergeKeys: _*)
-        val matched = tKeys.join(broadcast(wKeys), Model.MergeKeys.toSeq)
+        val matched = rawKeys.join(broadcast(wKeys), Model.MergeKeys.toSeq)
+          .groupBy(mergeKeys: _*).agg(max(col("__t_txid")).as("__t_txid"))
         val effective = winnerRows
           .join(broadcast(matched), Model.MergeKeys.toSeq, "left")
           .where(col("__t_txid").isNull || col("_txid") > col("__t_txid"))
@@ -254,12 +282,41 @@ object CdcApply {
           if (n == 0L)
             return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
               skippedReplay = false, prevWm, 0)
+          if (deltaPath) {
+            // 4a-i. MERGE-ON-READ delta commit: ONLY the effective
+            // winners are written, as ONE small unpartitioned parquet
+            // dir — O(batch) write regardless of table size or bucket
+            // count; readers resolve base ∪ deltas per key by max _txid.
+            // Once maxDeltaDepth delta files stack up, the next apply
+            // falls through to 4a-ii and folds them into fresh bases
+            // (amortized compaction, no separate scheduler needed).
+            val maxTx = math.max(prevWm, eff.getLong(2))
+            val nDel = eff.getLong(1)
+            effective.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+            table.commitDelta(schema, rel, maxTx, batchId, Map(
+              "events" -> n, "upserts" -> (n - nDel), "deletes" -> nDel,
+              "bucketsTouched" -> touched.length.toLong,
+              "deltaCommit" -> 1L, "deltaRows" -> n,
+              "deltaDepth" -> deltaDepth.toLong)
+              ++ extraMetrics, queryId)
+            return ApplyStats(version, n, n - nDel, nDel,
+              skippedReplay = false, maxTx, touched.length)
+          }
+          // 4a-ii. broadcast REWRITE: fold bases + delta files + winners
+          // into fresh bases (clears the delta stack when it covers all
+          // buckets). The anti-join side never shuffles; the one
+          // exchange is the salted output repartition that gives each
+          // bucket clean, skew-spread files (folds happen 1 in
+          // maxDeltaDepth batches, so this cost is amortized).
           val effKeys = effective.select(mergeKeys: _*)
           val merged = target
             .join(broadcast(effKeys), Model.MergeKeys.toSeq, "left_anti")
             .unionByName(effective.coalesce(1))
             .withColumn("_bucket", table.bucketCol(col("conv_id")))
-          merged.write.mode("overwrite").partitionBy("_bucket")
+          val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+          merged.repartition(shufflePartitions, col("_bucket"),
+              pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets.toLong)))
+            .write.mode("overwrite").partitionBy("_bucket")
             .parquet(outDir.toString)
           (n, eff.getLong(1), eff.getLong(2))
         } finally effective.unpersist()
@@ -314,17 +371,17 @@ object CdcApply {
       // footers of the just-written files — driver-side metadata reads,
       // no Spark job, no scheduling latency
       val countsByBucket: Map[Int, Long] = LakeTable.footerRowCounts(outDir)
-      val rewritten: Map[Int, Option[String]] = touched.map { b =>
+      val rewritten: Map[Int, Option[String]] = rewriteTouched.map { b =>
         b -> (if (countsByBucket.contains(b)) Some(s"$rel/_bucket=$b") else None)
       }.toMap
 
       table.commit(schema, rewritten, countsByBucket, maxTx, batchId, Map(
         "events" -> nEff, "upserts" -> (nEff - nDeletes), "deletes" -> nDeletes,
-        "bucketsTouched" -> touched.length.toLong,
+        "bucketsTouched" -> rewriteTouched.length.toLong,
         "broadcastMerge" -> (if (broadcastPath) 1L else 0L)) ++ extraMetrics,
-        queryId)
+        queryId, clearDeltas = foldsDeltas)
       ApplyStats(version, nEff, nEff - nDeletes, nDeletes,
-        skippedReplay = false, maxTx, touched.length)
+        skippedReplay = false, maxTx, rewriteTouched.length)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

@@ -21,14 +21,20 @@ object Multimodal {
     * gives every row a binary column without external data). */
   def asBlob(content: Column): Column = encode(content, "UTF-8")
 
+  /** Deterministic hex slice of the blob's md5 as a long — the fake
+    * codec's entropy source. md5-over-bytes is computable by any SQL
+    * engine (DuckDB oracle parity), unlike xxhash64. */
+  private def hashSlice(blob: Column, from: Int): Column =
+    conv(substring(md5(blob), from, 6), 16, 10).cast("long")
+
   /** STUB image decode: deterministic fake metadata from the bytes.
     * Real impl: batch decoder over the binary column (same schema). */
   def fakeDecodeImage(blob: Column): Column = struct(
     octet_length(blob).as("n_bytes"),
-    (pmod(xxhash64(blob), lit(1920L)) + 1L).cast("int").as("width"),
-    (pmod(xxhash64(blob, lit(1)), lit(1080L)) + 1L).cast("int").as("height"),
+    (pmod(hashSlice(blob, 1), lit(1920L)) + 1L).cast("int").as("width"),
+    (pmod(hashSlice(blob, 7), lit(1080L)) + 1L).cast("int").as("height"),
     element_at(array(lit("png"), lit("jpeg"), lit("webp")),
-      (pmod(xxhash64(blob, lit(2)), lit(3L)) + 1L).cast("int")).as("format"))
+      (pmod(hashSlice(blob, 13), lit(3L)) + 1L).cast("int")).as("format"))
 
   /** STUB resize: new dims, preserving aspect ratio metadata-side. */
   def resizeMeta(meta: Column, maxSide: Int): Column = {
@@ -47,7 +53,7 @@ object Multimodal {
     * sampling) — the real explode/partition shape of a frame pipeline. */
   def sampleFrames(df: DataFrame, blobCol: String, idCol: String,
       stride: Int): DataFrame = {
-    val nFrames = (pmod(xxhash64(col(blobCol)), lit(240L)) + 1L).cast("int")
+    val nFrames = (pmod(hashSlice(col(blobCol), 19), lit(240L)) + 1L).cast("int")
     df.select(col(idCol), nFrames.as("n_frames"),
         posexplode(sequence(lit(0), nFrames - 1, lit(stride))))
       .withColumnRenamed("pos", "sample_idx")

@@ -41,7 +41,20 @@ object InferJsonQueries {
             ts.tpe, ts.nMin, ts.nMax)
         }.toSeq.toDF("field", "pg_type", "base_type", "n_min", "n_max")
       },
-      None),
+      // the oracle re-derives the expected inference for this corpus'
+      // single numeric field: observed bounds + the outputpgtypes
+      // integer-sizing rule (smallint/integer/bigint by nMin/nMax,
+      // /root/reference/lib/outputpgtypes.js:76-118). The lattice's full
+      // behavior is golden-tested in TypeInferenceSpec; this row checks
+      // the distributed aggregation produced the right bounds and size.
+      Some("""SELECT 'k' AS field,
+        CASE WHEN min(k) >= -32768 AND max(k) <= 32767 THEN 'smallint'
+             WHEN min(k) >= -2147483648 AND max(k) <= 2147483647 THEN 'integer'
+             ELSE 'bigint' END AS pg_type,
+        'integer' AS base_type,
+        CAST(min(k) AS BIGINT) AS n_min, CAST(max(k) AS BIGINT) AS n_max
+        FROM (SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+          FROM events)""")),
 
     // embedding-cosine near-dup: planted perturbed copies (×1.02 scale
     // + tiny index-dependent jitter keeps cosine ≈ 1) must be recovered

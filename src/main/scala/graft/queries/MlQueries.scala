@@ -107,8 +107,12 @@ object MlQueries {
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
         FROM documents""")),
 
-    // multimodal: STUB decode + resize + frame sampling (plumbing real,
-    // codec fake — rows-only)
+    // multimodal: STUB decode + resize + frame sampling. The plumbing
+    // (binary column, struct metadata, explode-based frame rows) is the
+    // real Spark shape; the codec is a deterministic md5-derived fake,
+    // which makes every output value reproducible by the DuckDB oracle
+    // — decode, aspect-preserving resize arithmetic, and the stride-24
+    // frame-sample count all hash-checked.
     QueryDef("q36_multimodal_decode",
       (s, d) => {
         val withBlob = t(s, d, "documents")
@@ -125,5 +129,15 @@ object MlQueries {
             col("resized.width").as("rw"), col("resized.height").as("rh"),
             col("n_frames"), col("n_sampled_frames"))
       },
-      None))
+      Some("""WITH m AS (SELECT doc_id,
+          CAST(CAST(concat('0x', substr(md5(text),1,6)) AS BIGINT) % 1920 + 1 AS INTEGER) AS width,
+          CAST(CAST(concat('0x', substr(md5(text),7,6)) AS BIGINT) % 1080 + 1 AS INTEGER) AS height,
+          ['png','jpeg','webp'][CAST(CAST(concat('0x', substr(md5(text),13,6)) AS BIGINT) % 3 + 1 AS INTEGER)] AS format,
+          CAST(CAST(concat('0x', substr(md5(text),19,6)) AS BIGINT) % 240 + 1 AS INTEGER) AS n_frames
+          FROM documents)
+        SELECT doc_id, width, height, format,
+          CAST(ceil(width * least(1.0, 512.0/greatest(width,height))) AS INTEGER) AS rw,
+          CAST(ceil(height * least(1.0, 512.0/greatest(width,height))) AS INTEGER) AS rh,
+          n_frames, CAST((n_frames - 1) // 24 + 1 AS BIGINT) AS n_sampled_frames
+        FROM m""")))
 }

@@ -19,12 +19,23 @@ import org.json4s.jackson.Serialization
   *                       /root/reference/lib/backup_state.js:135-143)
   * @param schemaJson     table schema (Spark DataType JSON) as of this commit —
   *                       schema evolution = new commit with a wider schema
-  * @param buckets        bucket id -> data directory (relative to table root)
-  *                       holding that bucket's current rows; untouched buckets
-  *                       carry forward across commits so MERGE only rewrites
-  *                       affected buckets (partition-pruned upsert)
-  * @param rowCounts      bucket id -> row count (lineage/metrics)
+  * @param buckets        bucket id -> BASE data directory (relative to table
+  *                       root) holding that bucket's current rows; untouched
+  *                       buckets carry forward across commits so MERGE only
+  *                       rewrites affected buckets (partition-pruned upsert)
+  * @param rowCounts      bucket id -> physical row count incl. deltas (lineage)
   * @param metrics        free-form counters for the commit (applied/deleted/...)
+  * @param queryId        stream identity that produced the batch (sink-side
+  *                       exactly-once is scoped (queryId, batchId))
+  * @param deltaFiles     MERGE-ON-READ delta dirs (one small unpartitioned
+  *                       parquet dir per steady-state commit, possibly
+  *                       spanning many buckets) appended since the last
+  *                       fold. Readers resolve base ∪ deltas per key by max
+  *                       _txid (Iceberg merge-on-read semantics); a fold /
+  *                       compaction clears them. One file per commit — not
+  *                       one per bucket — keeps the per-batch write O(batch)
+  *                       and the file count O(depth), the same trade Delta
+  *                       Lake and Iceberg MoR make
   */
 case class Commit(
     version: Long,
@@ -34,8 +45,12 @@ case class Commit(
     buckets: Map[String, String],
     rowCounts: Map[String, Long],
     metrics: Map[String, Long],
-    queryId: String = "") {
+    queryId: String = "",
+    deltaFiles: Seq[String] = Nil) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  /** Delta dirs currently stacked on the table (read-amplification gauge). */
+  def deltaDepth: Int = deltaFiles.size
 }
 
 /** An Iceberg-*semantics* table over plain Parquet + a JSON commit log.
@@ -112,32 +127,39 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     * path needs them for the per-key version gate). */
   def readRaw(spark: SparkSession): DataFrame = currentCommit() match {
     case None => spark.emptyDataFrame
-    case Some(c) => readCommit(spark, c, c.buckets.keys.map(_.toInt).toSeq)
+    // all buckets: delta files may hold rows of buckets with no base yet
+    case Some(c) => readCommit(spark, c, 0 until numBuckets)
   }
 
   /** Snapshot read pruned to the given buckets (MERGE reads only the
-    * buckets the incoming keys hash to); tombstones included. */
-  def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame =
+    * buckets the incoming keys hash to); tombstones included.
+    * `resolve = false` skips the merge-on-read per-key resolution and
+    * returns every physical row (base + all deltas) — for consumers
+    * that aggregate per key themselves (e.g. the apply gate's
+    * max-txid, which would otherwise pay a full window shuffle per
+    * micro-batch just to read back a handful of keys). */
+  def readBuckets(spark: SparkSession, buckets: Seq[Int],
+      resolve: Boolean = true): DataFrame =
     currentCommit() match {
       case None => spark.emptyDataFrame
-      case Some(c) => readCommit(spark, c, buckets)
+      case Some(c) => readCommit(spark, c, buckets, resolve)
     }
 
   /** All commits in version order (the commit log is tiny: one small
     * JSON per commit). */
   def commitLog(): Seq[Commit] = cachedCommits()
 
-  private def readCommit(spark: SparkSession, c: Commit, buckets: Seq[Int]): DataFrame = {
-    val live = buckets.flatMap(b => c.buckets.get(b.toString))
-    if (live.isEmpty) return spark.createDataFrame(
+  private def readCommit(spark: SparkSession, c: Commit, buckets: Seq[Int],
+      resolve: Boolean = true): DataFrame = {
+    val base = buckets.flatMap(b => c.buckets.get(b.toString))
+    if (base.isEmpty && c.deltaFiles.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], c.schema)
-    // Each bucket dir was written by exactly one commit (path encodes the
+    // Each data dir was written by exactly one commit (path encodes the
     // version), under that commit's schema. Schema evolution may PROMOTE
     // column types (int→double→string), which parquet cannot coerce at
     // scan time — so read every file group under its writer's schema and
     // cast up to the latest (reader-side promotion, SURVEY.md §7 hard
-    // part (c)). Single-schema tables take the single-scan fast path.
-    val byVersion = live.groupBy(rel => rel.split("/")(1)) // data/cVVV/_bucket=N
+    // part (c)). Single-schema groups take the single-scan fast path.
     val schemas = commitLog().map(cm => f"c${cm.version}%012d" -> cm.schema).toMap
     val latest = c.schema
     def castUp(df: DataFrame): DataFrame =
@@ -145,29 +167,69 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
-    val distinctSchemas = byVersion.keys.flatMap(schemas.get).map(_.json).toSet
-    // fast path (one scan) only when nothing needs reader-side promotion;
-    // add-only evolution is fine here (missing columns read as null)
-    val addOnly = distinctSchemas.forall { sj =>
-      val s = DataType.fromJson(sj).asInstanceOf[StructType]
-      s.fields.forall(f => latest.find(_.name == f.name)
-        .exists(_.dataType == f.dataType))
+    def readGroup(rels: Seq[String]): Option[DataFrame] = {
+      if (rels.isEmpty) return None
+      val byVersion = rels.groupBy(rel => rel.split("/")(1)) // data/cVVV[/...]
+      val distinctSchemas = byVersion.keys.flatMap(schemas.get).map(_.json).toSet
+      // fast path (one scan) only when nothing needs reader-side
+      // promotion; add-only evolution is fine (missing columns → null)
+      val addOnly = distinctSchemas.forall { sj =>
+        val s = DataType.fromJson(sj).asInstanceOf[StructType]
+        s.fields.forall(f => latest.find(_.name == f.name)
+          .exists(_.dataType == f.dataType))
+      }
+      Some(
+        if (addOnly)
+          spark.read.schema(latest).parquet(rels.map(r => root.resolve(r).toString): _*)
+        else byVersion.toSeq.sortBy(_._1).map { case (ver, grp) =>
+          val writerSchema = schemas.getOrElse(ver, latest)
+          castUp(spark.read.schema(writerSchema)
+            .parquet(grp.map(r => root.resolve(r).toString): _*))
+        }.reduce(_ unionByName _))
     }
-    if (addOnly)
-      spark.read.schema(latest).parquet(live.map(r => root.resolve(r).toString): _*)
-    else byVersion.toSeq.sortBy(_._1).map { case (ver, rels) =>
-      val writerSchema = schemas.getOrElse(ver, latest)
-      castUp(spark.read.schema(writerSchema)
-        .parquet(rels.map(r => root.resolve(r).toString): _*))
-    }.reduce(_ unionByName _)
+    val baseDf = readGroup(base)
+    // delta files span buckets — prune their (small) rows to the
+    // requested bucket set unless the read covers everything
+    val deltaDf = readGroup(c.deltaFiles).map { df =>
+      if (buckets.size >= numBuckets) df
+      else df.where(bucketCol(col("conv_id"))
+        .isin(buckets.map(Integer.valueOf): _*))
+    }
+    val combined = (baseDf, deltaDf) match {
+      case (Some(b), Some(d)) => b.unionByName(d)
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      case (None, None) => return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], c.schema)
+    }
+    // MERGE-ON-READ resolve: a key may appear in the base and in any
+    // number of delta files — the highest _txid wins (etag tiebreak for
+    // duplicated txids). Skipped entirely when no deltas exist. A
+    // partial-aggregable max_by (hash agg, map-side combine) instead of
+    // a row_number window: no sort, and the map side already collapses
+    // most duplicates since base and delta rows of a key colocate per
+    // scan split only rarely — one hash shuffle total.
+    if (deltaDf.isEmpty || !resolve) combined
+    else {
+      val keys = graft.model.Model.MergeKeys
+      val allCols = combined.columns.toSeq
+      combined.groupBy(keys.map(col): _*)
+        .agg(max_by(struct(allCols.map(col): _*),
+          struct(col("_txid"), coalesce(col("_etag"), lit("")))).as("__m"))
+        .select(col("__m.*"))
+    }
   }
 
   def nextVersion: Long = currentCommit().map(_.version + 1).getOrElse(1L)
 
   /** Atomically publish a new snapshot. `rewritten` are the buckets this
-    * commit touched: Some(relativeDir) replaces the bucket's data, None
-    * removes the bucket entirely (every row deleted). All other buckets
-    * carry forward from the previous commit. */
+    * commit touched: Some(relativeDir) replaces the bucket's BASE data,
+    * None removes the bucket entirely (every row deleted). All other
+    * buckets carry forward. `clearDeltas = true` when the rewrite folded
+    * every delta file's rows into the new bases (fold / compaction /
+    * full replay); a partial rewrite keeps them — re-reading a folded
+    * row from a kept delta resolves to the identical row, so partial
+    * rewrites stay correct, just not yet compacted. */
   def commit(
       schema: StructType,
       rewritten: Map[Int, Option[String]],
@@ -175,21 +237,47 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       txidWatermark: Long,
       batchId: Long,
       metrics: Map[String, Long],
-      queryId: String = ""): Commit = {
-    Files.createDirectories(commitsDir)
+      queryId: String = "",
+      clearDeltas: Boolean = false): Commit = {
     val prev = currentCommit()
-    val version = prev.map(_.version + 1).getOrElse(1L)
     val carried = prev.map(_.buckets).getOrElse(Map.empty)
     val carriedCounts = prev.map(_.rowCounts).getOrElse(Map.empty)
+    val carriedDeltas = prev.map(_.deltaFiles).getOrElse(Nil)
     val dropped = rewritten.collect { case (k, None) => k.toString }.toSet
-    val c = Commit(
-      version, batchId, txidWatermark, schema.json,
+    publish(Commit(
+      prev.map(_.version + 1).getOrElse(1L), batchId, txidWatermark, schema.json,
       (carried -- dropped) ++ rewritten.collect { case (k, Some(v)) => k.toString -> v },
       (carriedCounts -- dropped) ++ newRowCounts.map { case (k, v) => k.toString -> v },
-      metrics, queryId)
+      metrics, queryId,
+      if (clearDeltas) Nil else carriedDeltas))
+  }
+
+  /** Atomically publish a MERGE-ON-READ delta commit: one small delta
+    * dir appended to the stack; bases carry forward untouched.
+    * Steady-state CDC applies land here — O(batch) write, no table
+    * rewrite (reference contrast: the dump pipeline rewrites everything
+    * every cycle, manta/dc_inputs_4.sh). */
+  def commitDelta(
+      schema: StructType,
+      deltaDir: String,
+      txidWatermark: Long,
+      batchId: Long,
+      metrics: Map[String, Long],
+      queryId: String = ""): Commit = {
+    val prev = currentCommit()
+    publish(Commit(
+      prev.map(_.version + 1).getOrElse(1L), batchId, txidWatermark, schema.json,
+      prev.map(_.buckets).getOrElse(Map.empty),
+      prev.map(_.rowCounts).getOrElse(Map.empty),
+      metrics, queryId,
+      prev.map(_.deltaFiles).getOrElse(Nil) :+ deltaDir))
+  }
+
+  private def publish(c: Commit): Commit = {
+    Files.createDirectories(commitsDir)
     val tmp = Files.createTempFile(commitsDir, ".tmp-", ".json")
     Files.writeString(tmp, Serialization.write(c))
-    val target = commitsDir.resolve(f"$version%012d.json")
+    val target = commitsDir.resolve(f"${c.version}%012d.json")
     // ATOMIC_MOVE: exactly one writer wins a version; a loser throws and
     // the caller re-reads the log and retries (single-writer here).
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
@@ -221,15 +309,20 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
             .filter(_.startsWith("_bucket=")).toList
         } finally s.close()
       }
+      // every bucket with a base, plus any bucket the delta files
+      // materialized, is folded into the new base; the delta stack clears
+      val liveBuckets = c.buckets.keySet.map(_.toInt) ++
+        (if (c.deltaFiles.nonEmpty) 0 until numBuckets else Nil)
       val rewritten: Map[Int, Option[String]] =
-        c.buckets.keys.map(_.toInt).map { b =>
+        liveBuckets.map { b =>
           b -> (if (dirs.contains(s"_bucket=$b")) Some(s"$rel/_bucket=$b") else None)
         }.toMap
       // fresh post-compaction row counts: the tombstones just dropped
       // must leave the per-bucket lineage counts too
       val counts = LakeTable.footerRowCounts(root.resolve(rel))
       commit(c.schema, rewritten, counts, c.txidWatermark, -1L,
-        Map("compaction" -> 1L, "tombstoneHorizon" -> tombstoneHorizon))
+        Map("compaction" -> 1L, "tombstoneHorizon" -> tombstoneHorizon),
+        clearDeltas = true)
     }
 
   /** True if a streaming micro-batch with this id was already committed

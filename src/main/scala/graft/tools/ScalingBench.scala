@@ -111,6 +111,19 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("WARN")
     val cpuListener = new CpuTimeListener
     spark.sparkContext.addSparkListener(cpuListener)
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val secs = (for {
+              a <- si.completionTime; b <- si.submissionTime
+            } yield (a - b) / 1000.0).getOrElse(-1.0)
+            System.err.println(f"[stage] ${si.stageId}%3d tasks=${si.numTasks}%4d " +
+              f"$secs%6.1f s  ${si.name.takeWhile(_ != '\n')}")
+          }
+        })
     try {
       val total = baseEvents + batchEvents * nBatches
       val logDir = s"$workDir/changelog"
@@ -130,9 +143,12 @@ object ScalingBench {
       (0 until nBatches).foreach { i =>
         val lo = baseEvents + i * batchEvents + 1
         val hi = baseEvents + (i + 1) * batchEvents
-        CdcApply.applyBatch(spark, table,
+        val tb = System.nanoTime()
+        val st = CdcApply.applyBatch(spark, table,
           events.where(org.apache.spark.sql.functions.col("_txid").between(lo, hi)),
           broadcastThreshold = if (forceOuter) 0L else CdcApply.BroadcastMergeMaxEvents)
+        System.err.println(f"[steady] batch$i applied=${st.applied} " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s")
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val cpu0 = cpuListener.cpuNanos.get() - cpuStart

@@ -161,22 +161,44 @@ class CdcApplySpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getAs[String]("text") == "v30")
   }
 
-  test("broadcast and full-outer merge paths produce identical final state") {
+  test("delta, broadcast-rewrite and full-outer paths produce identical final state") {
     val events = corpus(2000)
     val segs = Seq(
       events.where(col("_txid") <= 700),
       events.where(col("_txid") > 700 && col("_txid") <= 1400),
       events.where(col("_txid") > 1400))
-    val tA = new LakeTable(tmpDir("path-bcast"), numBuckets = 16)
+    val tA = new LakeTable(tmpDir("path-delta"), numBuckets = 16)
     val tB = new LakeTable(tmpDir("path-fullouter"), numBuckets = 16)
+    val tC = new LakeTable(tmpDir("path-bcast-rw"), numBuckets = 16)
     segs.foreach { s =>
-      CdcApply.applyBatch(spark, tA, s) // default: broadcast path
-      CdcApply.applyBatch(spark, tB, s, broadcastThreshold = 0L) // force full-outer
+      CdcApply.applyBatch(spark, tA, s) // default: base then MoR deltas
+      CdcApply.applyBatch(spark, tB, s, broadcastThreshold = 0L) // full-outer
+      CdcApply.applyBatch(spark, tC, s, maxDeltaDepth = 0) // broadcast rewrite
     }
-    assert(tA.currentCommit().get.metrics("broadcastMerge") == 1L)
+    assert(tA.currentCommit().get.metrics("deltaCommit") == 1L)
+    assert(tA.currentCommit().get.deltaFiles.nonEmpty)
     assert(tB.currentCommit().get.metrics("broadcastMerge") == 0L)
+    assert(tC.currentCommit().get.metrics("broadcastMerge") == 1L)
+    assert(tC.currentCommit().get.deltaFiles.isEmpty)
     assertSameRows(finalPayload(tA), finalPayload(tB))
+    assertSameRows(finalPayload(tC), finalPayload(tB))
     assertSameRows(finalPayload(tA), Corpus.oracleFinalState(events))
+  }
+
+  test("delta depth is bounded: the apply folds deltas into a fresh base at the cap") {
+    val events = corpus(6000)
+    val table = new LakeTable(tmpDir("depth"), numBuckets = 4)
+    val step = 500L
+    (0 until 12).foreach { i =>
+      CdcApply.applyBatch(spark, table,
+        events.where(col("_txid") > i * step && col("_txid") <= (i + 1) * step),
+        maxDeltaDepth = 3)
+    }
+    val depths = table.commitLog().map(_.deltaDepth)
+    assert(depths.max <= 3, s"depth exceeded cap: $depths")
+    // at least one fold happened (depth reset after hitting the cap)
+    assert(table.commitLog().count(_.metrics.getOrElse("deltaCommit", 0L) == 0L) >= 2)
+    assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
   }
 
   test("ignore list: novel junk field does not widen the table schema") {
