@@ -58,9 +58,28 @@ object Bench {
     val cdcSecs = (System.nanoTime() - t0) / 1e9
     val throughput = nEvents / cdcSecs
 
+    // steady-state incremental metric: small batches against the table
+    // just built — the merge-on-read delta path (north-rule tail shape)
+    val steadyBatches = 4
+    val per = (nEvents / 20).max(1L)
+    val steadyTable = new graft.table.LakeTable(s"$scratch/steady", numBuckets = 64)
+    graft.cdc.CdcApply.applyBatch(spark, steadyTable,
+      events.where(col("_txid") <= nEvents - steadyBatches * per), pruneBuckets = false)
+    val t1 = System.nanoTime()
+    (0 until steadyBatches).foreach { i =>
+      val lo = nEvents - (steadyBatches - i) * per + 1
+      val hi = nEvents - (steadyBatches - i - 1) * per
+      graft.cdc.CdcApply.applyBatch(spark, steadyTable,
+        events.where(col("_txid").between(lo, hi)))
+    }
+    val steadySecs = (System.nanoTime() - t1) / 1e9
+    val steadyTp = steadyBatches * per / steadySecs
+
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       f""""cdc_events":$nEvents,"cdc_secs":$cdcSecs%.1f,""" +
-      f""""cdc_events_per_sec":$throughput%.0f,"sf":"$sfDir"}""")
+      f""""cdc_events_per_sec":$throughput%.0f,""" +
+      f""""cdc_steady_events_per_sec":$steadyTp%.0f,""" +
+      f""""cdc_steady_batch_events":$per,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
