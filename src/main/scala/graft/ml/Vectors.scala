@@ -117,6 +117,90 @@ object Vectors {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path
+    * alongside hyperplane LSH. Spherical k-means:
+    *
+    *  1. TRAIN: `nlist` centroids seeded from hash-picked corpus
+    *     vectors (deterministic — no RNG), refined with `iters` Lloyd
+    *     iterations. Assignment broadcasts the (tiny) centroid set;
+    *     the update is one posexplode + groupBy(cluster, dim) mean per
+    *     iteration — every step is a distributed pass, centroids
+    *     (nlist × dim doubles) are the only driver-side state.
+    *  2. INDEX: each corpus vector keys into its nearest centroid's
+    *     inverted list.
+    *  3. PROBE: a query scans only its `nProbe` nearest lists —
+    *     corpus-scan fraction ≈ nProbe/nlist, the IVF trade.
+    *
+    * Returns the same (query_id, corpus_id, cos_sim, rank) shape as
+    * the other ANN paths. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val unit = (v: Column) => transform(v, x => x.cast("double") / l2norm(v))
+    val cv = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).as("cv"), unit(col(vecCol)).as("cu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def centDf(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      val normed = cents.map { case (c, vec) =>
+        val n = math.sqrt(vec.map(x => x * x).sum)
+        (c, if (n > 0) vec.map(_ / n) else vec)
+      }
+      spark.createDataset(normed).toDF("cluster", "centroid")
+    }
+    def assign(df: DataFrame, idC: String, vecC: String,
+        cents: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .select(col(idC), col(vecC), col("cluster"),
+          dot(col(vecC), col("centroid")).as("sim"))
+        .groupBy(idC)
+        .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"))
+
+    // deterministic seeds: the nlist hash-minimal corpus vectors
+    var centroids = centDf(
+      cv.withColumn("__h", xxhash64(col("corpus_id")))
+        .orderBy("__h").limit(nlist)
+        .collect().zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Double](2) }.toSeq)
+    (0 until iters).foreach { _ =>
+      val assigned = assign(cv, "corpus_id", "cu", centroids)
+      val means = cv.join(assigned, Seq("corpus_id"))
+        .select(col("cluster"), posexplode(col("cu")))
+        .groupBy("cluster", "pos").agg(avg("col").as("m"))
+        .groupBy("cluster")
+        .agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("byPos"))
+        .collect()
+        .map { r =>
+          val m = r.getMap[Int, Double](1)
+          r.getInt(0) -> (0 until m.keys.max + 1).map(m.getOrElse(_, 0.0))
+        }.toSeq
+      if (means.nonEmpty) centroids = centDf(means)
+    }
+
+    // inverted index: cluster → member vectors
+    val index = cv.join(assign(cv, "corpus_id", "cu", centroids), Seq("corpus_id"))
+    // probe: each query ranks the centroids, keeps nProbe lists
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      unit(col(vecCol)).as("qu"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cluster").asc)
+    val probed = qv.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cluster"),
+        dot(col("qu"), col("centroid")).as("sim"))
+      .withColumn("__r", row_number().over(wq)).where(col("__r") <= nProbe)
+      .select("query_id", "qv", "cluster")
+    val scored = index.join(broadcast(probed), Seq("cluster"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("cv"), col("qv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Symmetric near-duplicate search over ONE corpus — the self-join
     * form. Never broadcasts: the candidate join is a shuffle join on
     * (tbl, bkt) carrying ids only, each bucket capped at `maxBucket`

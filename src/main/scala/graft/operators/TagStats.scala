@@ -49,6 +49,13 @@ object TagStats {
       s"stack(${tags.size}, $stacked) as (tag, d, m, u, ib)"))
   }
 
+  /** A7 stat export: the per-tag summary as one headered CSV (reference
+    * measure/json_summary.sh:15-34 pastes per-tag stat files into
+    * `table.csv`; here it's a one-line write of the already-computed
+    * stats frame). */
+  def writeSummaryCsv(stats: DataFrame, path: String): Unit =
+    stats.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
   /** Q-score + routing decision per tag (A6). The reference's Ib is the
     * pbzip2-compressed byte size; the portable stand-in is a dictionary-
     * compression estimate from the same stats: distinct-content bytes

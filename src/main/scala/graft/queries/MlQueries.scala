@@ -99,6 +99,18 @@ object MlQueries {
       },
       None),
 
+    // IVF-bucketed ANN — the coarse-quantizer scale path (structural
+    // check: MlSpec asserts overlap vs brute force)
+    QueryDef("q47_ann_ivf",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Vectors.ivfTopK(e, e.where(col("vec_id") < 3),
+            "vec_id", "embedding", k = 5, nlist = 16, nProbe = 6, iters = 2)
+          .select(col("query_id"), col("corpus_id"), col("rank"),
+            round(col("cos_sim"), 6).as("cos_sim_r"))
+      },
+      None),
+
     // multimodal: binary column byte accounting (portable oracle)
     QueryDef("q35_blob_bytes",
       (s, d) => t(s, d, "documents").select(

@@ -79,6 +79,29 @@ class MlSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF ANN: deterministic, self-excluded, meaningful overlap with brute force") {
+    val bf = Vectors.bruteForceTopK(embeddings,
+        embeddings.where(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Vectors.ivfTopK(embeddings,
+        embeddings.where(col("vec_id") < 3), "vec_id", "embedding", 5,
+        nlist = 16, nProbe = 6, iters = 2)
+    val got = ivf.collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall(r => r.getLong(1) != r.getLong(0)))
+    // probing 6 of 16 lists scans ~38% of the corpus; near neighbors
+    // cluster with their queries so overlap should well exceed that
+    val overlap = (bf intersect pairs).size.toDouble / bf.size
+    assert(overlap >= 0.5, s"ivf/bf overlap $overlap")
+    // deterministic training: a second run returns identical pairs
+    val again = Vectors.ivfTopK(embeddings,
+        embeddings.where(col("vec_id") < 3), "vec_id", "embedding", 5,
+        nlist = 16, nProbe = 6, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pairs)
+  }
+
   test("exactNearDups finds exactly the planted pairs with integer-exact counts") {
     val mutated = MlQueries.withMutants(docs)
     val out = Similarity.exactNearDups(mutated, "doc_id", "text",
