@@ -122,26 +122,31 @@ object CdcStream {
               coalesce(nullif(
                 regexp_extract(col("_path"), dcPattern, 1), lit("")),
                 lit("default")).as("_origin_dc"))
-          val eventsDc = normalize(parsed)
-          val events = eventsDc
+          val events = normalize(parsed)
           val t0 = System.nanoTime()
-          // per-DC lineage counters (one small agg over the batch)
-          val lineage: Map[String, Long] = eventsDc
-            .groupBy("_origin_dc").count().collect()
+          // ONE summary agg per batch: per-DC lineage counters, distinct
+          // origin files, and the newest event time (ingest-lag input) —
+          // grouping sets keep it a single job instead of three
+          val hasTs = events.columns.contains("ts")
+          val summary = events.groupBy("_origin_dc").agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("_origin_file")).as("nf"),
+            (if (hasTs) max(col("ts")).cast("long")
+             else lit(null).cast("long")).as("maxTs")).collect()
+          val lineage: Map[String, Long] = summary
             .map(r => s"dc:${r.getString(0)}" -> r.getLong(1)).toMap
-          val nFiles = eventsDc.select(countDistinct("_origin_file")).head().getLong(0)
-          val stats = CdcApply.applyBatch(session, table, eventsDc,
+          val nFiles = summary.map(_.getLong(2)).sum
+          val maxTs = summary.flatMap(r =>
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))
+          val stats = CdcApply.applyBatch(session, table, events,
             batchId = batchId, queryId = queryId, ignoreFields = ignoreFields,
             extraMetrics = lineage + ("originFiles" -> nFiles))
           val ms = (System.nanoTime() - t0) / 1000000
           // ingest lag: wall-clock minus newest event time in the batch
           // (north-star metric; negative/absent ts → no lag reading)
-          if (stats.applied > 0 && events.columns.contains("ts")) {
-            val maxTs = events.agg(max(col("ts")).cast("long")).head()
-            if (!maxTs.isNullAt(0)) {
-              val lagMs = System.currentTimeMillis() - maxTs.getLong(0) * 1000L
-              IngestMetrics.record(table.location, batchId, lagMs, ms, stats)
-            }
+          if (stats.applied > 0 && maxTs.nonEmpty) {
+            val lagMs = System.currentTimeMillis() - maxTs.max * 1000L
+            IngestMetrics.record(table.location, batchId, lagMs, ms, stats)
           }
           onBatch(ms, stats)
         }
