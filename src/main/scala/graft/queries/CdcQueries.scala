@@ -135,6 +135,30 @@ object CdcQueries {
       },
       Some(lastWriterOracle)),
 
+    // point lookup through the lake table's bucket pruning: replay,
+    // then read ONE conversation — the engine prunes the scan to the
+    // single bucket its key hashes to (PlanSpec asserts the file-level
+    // pruning; here the driver checks the VALUES against the oracle's
+    // filtered last-writer fold)
+    QueryDef("q48_point_lookup_pruned",
+      (s, d) => {
+        val table = new LakeTable(scratch("point-"), numBuckets = 16)
+        CdcApply.replay(s, table, asChangeEvents(s, d), nBatches = 1)
+        val conv = "1"
+        val bucket = s.range(1)
+          .select(pmod(xxhash64(lit(conv)), lit(16L)).cast("int"))
+          .head().getInt(0)
+        table.readBuckets(s, Seq(bucket))
+          .where(col("conv_id") === conv &&
+            !coalesce(col("_deleted"), lit(false)))
+          .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+            (col("_txid") - 1L).as("event_id"))
+      },
+      Some("""SELECT user_id, event_type, value, ts, event_id FROM (
+        SELECT user_id, event_type, value, ts, event_id,
+          row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        FROM events WHERE user_id = 1) WHERE rn = 1 AND value >= 5.0""")),
+
     // exact dedup by content hash (reference D1/K1: md5 row hash + uniq)
     QueryDef("q18_dedup_exact",
       (s, d) => t(s, d, "events")
