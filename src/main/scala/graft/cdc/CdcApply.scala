@@ -139,10 +139,13 @@ object CdcApply {
     * that every steady-state CDC micro-batch qualifies. */
   val BroadcastMergeMaxEvents = 500000L
 
-  /** Delta dirs a bucket may stack up before the next apply folds them
-    * into a fresh base (MERGE-ON-READ depth bound). Read amplification
-    * and resolve-window width stay O(MaxDeltaDepth); steady-state apply
-    * cost stays O(batch) with a 1/MaxDeltaDepth amortized rewrite. */
+  /** Delta dirs a bucket may stack up before the next apply folds THAT
+    * BUCKET into a fresh base (MERGE-ON-READ depth bound, tracked per
+    * bucket). Read amplification and resolve-window width stay
+    * O(MaxDeltaDepth); steady-state apply cost stays O(batch) with an
+    * amortized rewrite of 1/MaxDeltaDepth of the HOT buckets only — a
+    * cold bucket is never rewritten, so fold cost is proportional to
+    * churn, not table size (the property that survives 100 TB). */
   val MaxDeltaDepth = 8
 
   def applyBatch(
@@ -224,26 +227,27 @@ object CdcApply {
 
       val version = table.nextVersion
       val rel = f"data/c$version%012d"
+      val deltaRel = f"data/c$version%012dd"
       val outDir = Paths.get(table.location).resolve(rel)
+      val deltaOutDir = Paths.get(table.location).resolve(deltaRel)
       val broadcastPath = batchCount >= 0 && batchCount <= broadcastThreshold
-      val deltaDepth = prev.map(_.deltaDepth).getOrElse(0)
-      // first commit writes a base (a delta with nothing under it is just
-      // a base with extra read cost); after that, stack one delta file
-      // per batch until the depth bound, then fold
-      val deltaPath = broadcastPath && prev.nonEmpty && deltaDepth < maxDeltaDepth
-      // a REWRITE that folds delta files must cover every bucket a delta
-      // row could belong to (delta files span buckets) — so folds and
-      // bulk replays rewrite all buckets; pruned rewrites without deltas
-      // rewrite only the batch's buckets
-      val rewriteTouched: Seq[Int] =
-        if (!deltaPath && prev.exists(_.deltaFiles.nonEmpty)) 0 until table.numBuckets
-        else touched
-      val foldsDeltas = !deltaPath && rewriteTouched.length == table.numBuckets
-      // resolved view of the buckets a REWRITE covers (lazy — the delta
-      // path never executes it)
-      lazy val target = align(table.readBuckets(spark, rewriteTouched), schema)
+      // Per-bucket fold policy: a touched bucket whose delta stack is at
+      // the depth cap gets REWRITTEN this batch (base ∪ its deltas ∪ its
+      // winners, stack cleared); every other touched bucket takes its
+      // winners as one more delta dir. The first commit folds everything
+      // (a delta with nothing under it is just a base with extra read
+      // cost). A single commit records both sides atomically.
+      val foldBuckets: Seq[Int] =
+        if (prev.isEmpty || maxDeltaDepth <= 0 || !broadcastPath) touched
+        else touched.filter(b => prev.exists(_.deltaDepthOf(b) >= maxDeltaDepth))
+      val foldSet = foldBuckets.toSet
+      val deltaBuckets: Seq[Int] = touched.filterNot(foldSet)
+      // resolved view of ONLY the buckets this apply rewrites (lazy —
+      // the pure-delta path never executes it)
+      lazy val target = align(table.readBuckets(spark, foldBuckets), schema)
 
-      val (nEff, nDeletes, maxTxRaw) = if (broadcastPath) {
+      val bucketOf = table.bucketCol(col("conv_id"))
+      val (nEff, nDeletes, maxTxRaw, deltaAdds) = if (broadcastPath) {
         // 4a. BROADCAST MERGE (steady-state CDC): the batch's keys are
         // small, so the TARGET side is never shuffled at all —
         //   (i)  gate: target's (key, _txid) — a column-pruned narrow
@@ -282,43 +286,59 @@ object CdcApply {
           if (n == 0L)
             return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
               skippedReplay = false, prevWm, 0)
-          if (deltaPath) {
-            // 4a-i. MERGE-ON-READ delta commit: ONLY the effective
-            // winners are written, as ONE small unpartitioned parquet
-            // dir — O(batch) write regardless of table size or bucket
-            // count; readers resolve base ∪ deltas per key by max _txid.
-            // Once maxDeltaDepth delta files stack up, the next apply
-            // falls through to 4a-ii and folds them into fresh bases
-            // (amortized compaction, no separate scheduler needed).
-            val maxTx = math.max(prevWm, eff.getLong(2))
-            val nDel = eff.getLong(1)
-            effective.coalesce(1).write.mode("overwrite").parquet(outDir.toString)
-            table.commitDelta(schema, rel, maxTx, batchId, Map(
+          // 4a-i. MERGE-ON-READ delta side: winners for buckets below the
+          // depth cap are written as ONE small bucket-partitioned parquet
+          // dir — O(batch) write regardless of table size (one coalesced
+          // task, no shuffle; sorted so each bucket file's row groups
+          // carry tight conv_id min/max for later pruned reads). Readers
+          // resolve base ∪ that bucket's deltas per key by max _txid.
+          val adds: Map[Int, (String, Long)] =
+            if (deltaBuckets.isEmpty) Map.empty
+            else {
+              val effDelta =
+                if (foldBuckets.isEmpty) effective
+                else effective.where(!bucketOf.isin(foldBuckets.map(Integer.valueOf): _*))
+              effDelta.coalesce(1).withColumn("_bucket", bucketOf)
+                .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
+                .write.mode("overwrite").partitionBy("_bucket")
+                .parquet(deltaOutDir.toString)
+              LakeTable.footerRowCounts(deltaOutDir).map { case (b, cnt) =>
+                b -> (s"$deltaRel/_bucket=$b", cnt)
+              }
+            }
+          val maxTx = math.max(prevWm, eff.getLong(2))
+          val nDel = eff.getLong(1)
+          if (foldBuckets.isEmpty) {
+            // pure delta commit — the steady-state fast path
+            table.commitDelta(schema, adds, maxTx, batchId, Map(
               "events" -> n, "upserts" -> (n - nDel), "deletes" -> nDel,
               "bucketsTouched" -> touched.length.toLong,
-              "deltaCommit" -> 1L, "deltaRows" -> n,
-              "deltaDepth" -> deltaDepth.toLong)
+              "deltaCommit" -> 1L, "deltaRows" -> n)
               ++ extraMetrics, queryId)
             return ApplyStats(version, n, n - nDel, nDel,
               skippedReplay = false, maxTx, touched.length)
           }
-          // 4a-ii. broadcast REWRITE: fold bases + delta files + winners
-          // into fresh bases (clears the delta stack when it covers all
-          // buckets). The anti-join side never shuffles; the one
-          // exchange is the salted output repartition that gives each
-          // bucket clean, skew-spread files (folds happen 1 in
-          // maxDeltaDepth batches, so this cost is amortized).
+          // 4a-ii. broadcast FOLD: rewrite ONLY the at-cap buckets —
+          // their bases + delta stacks + this batch's winners become
+          // fresh bases and their stacks clear. The anti-join side never
+          // shuffles; the one exchange is the salted output repartition
+          // that gives each bucket clean, skew-spread files. Fold cost is
+          // proportional to the folded (hot) buckets, never the table.
           val effKeys = effective.select(mergeKeys: _*)
+          val effFold =
+            if (deltaBuckets.isEmpty) effective
+            else effective.where(bucketOf.isin(foldBuckets.map(Integer.valueOf): _*))
           val merged = target
             .join(broadcast(effKeys), Model.MergeKeys.toSeq, "left_anti")
-            .unionByName(effective.coalesce(1))
-            .withColumn("_bucket", table.bucketCol(col("conv_id")))
+            .unionByName(effFold.coalesce(1))
+            .withColumn("_bucket", bucketOf)
           val shufflePartitions = spark.sessionState.conf.numShufflePartitions
           merged.repartition(shufflePartitions, col("_bucket"),
               pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets.toLong)))
+            .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
             .write.mode("overwrite").partitionBy("_bucket")
             .parquet(outDir.toString)
-          (n, eff.getLong(1), eff.getLong(2))
+          (n, nDel, eff.getLong(2), adds)
         } finally effective.unpersist()
       } else {
         // 4b. FULL-OUTER MERGE (bulk loads/replays, batch ~ table size):
@@ -344,13 +364,14 @@ object CdcApply {
             sum(col("__takeDel").cast("long")).as("nDel"),
             max(col("__takeTx")).as("maxTx"))
           .drop("__take", "__takeDel", "__takeTx")
-          .withColumn("_bucket", table.bucketCol(col("conv_id")))
+          .withColumn("_bucket", bucketOf)
         // salt: hot conv_ids spread across tasks inside their bucket.
         // Explicit numPartitions marks the exchange user-specified so
         // AQE cannot coalesce the salt groups back into one task.
         val shufflePartitions = spark.sessionState.conf.numShufflePartitions
         val salted = merged.repartition(shufflePartitions, col("_bucket"),
           pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets.toLong)))
+          .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
         salted.write.mode("overwrite").partitionBy("_bucket").parquet(outDir.toString)
 
         val metrics0 = obs.get
@@ -363,7 +384,7 @@ object CdcApply {
           return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
             skippedReplay = false, prevWm, 0)
         }
-        (n, nDel, metrics0("maxTx").asInstanceOf[Long])
+        (n, nDel, metrics0("maxTx").asInstanceOf[Long], Map.empty[Int, (String, Long)])
       }
       val maxTx = math.max(prevWm, maxTxRaw)
 
@@ -371,17 +392,19 @@ object CdcApply {
       // footers of the just-written files — driver-side metadata reads,
       // no Spark job, no scheduling latency
       val countsByBucket: Map[Int, Long] = LakeTable.footerRowCounts(outDir)
-      val rewritten: Map[Int, Option[String]] = rewriteTouched.map { b =>
+      val rewritten: Map[Int, Option[String]] = foldBuckets.map { b =>
         b -> (if (countsByBucket.contains(b)) Some(s"$rel/_bucket=$b") else None)
       }.toMap
 
       table.commit(schema, rewritten, countsByBucket, maxTx, batchId, Map(
         "events" -> nEff, "upserts" -> (nEff - nDeletes), "deletes" -> nDeletes,
-        "bucketsTouched" -> rewriteTouched.length.toLong,
+        "bucketsTouched" -> touched.length.toLong,
+        "foldedBuckets" -> foldBuckets.length.toLong,
+        "deltaRows" -> deltaAdds.values.map(_._2).sum,
         "broadcastMerge" -> (if (broadcastPath) 1L else 0L)) ++ extraMetrics,
-        queryId, clearDeltas = foldsDeltas)
+        queryId, deltaAdds = deltaAdds)
       ApplyStats(version, nEff, nEff - nDeletes, nDeletes,
-        skippedReplay = false, maxTx, rewriteTouched.length)
+        skippedReplay = false, maxTx, touched.length)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

@@ -23,19 +23,24 @@ import org.json4s.jackson.Serialization
   *                       root) holding that bucket's current rows; untouched
   *                       buckets carry forward across commits so MERGE only
   *                       rewrites affected buckets (partition-pruned upsert)
-  * @param rowCounts      bucket id -> physical row count incl. deltas (lineage)
+  * @param rowCounts      bucket id -> physical row count INCLUDING that
+  *                       bucket's delta rows (lineage; a key superseded by a
+  *                       delta counts once per physical row until the fold)
   * @param metrics        free-form counters for the commit (applied/deleted/...)
   * @param queryId        stream identity that produced the batch (sink-side
   *                       exactly-once is scoped (queryId, batchId))
-  * @param deltaFiles     MERGE-ON-READ delta dirs (one small unpartitioned
-  *                       parquet dir per steady-state commit, possibly
-  *                       spanning many buckets) appended since the last
-  *                       fold. Readers resolve base ∪ deltas per key by max
-  *                       _txid (Iceberg merge-on-read semantics); a fold /
-  *                       compaction clears them. One file per commit — not
-  *                       one per bucket — keeps the per-batch write O(batch)
-  *                       and the file count O(depth), the same trade Delta
-  *                       Lake and Iceberg MoR make
+  * @param deltas         MERGE-ON-READ delta dirs PER BUCKET: bucket id ->
+  *                       the stack of small parquet dirs (each
+  *                       `data/cVVVd/_bucket=B`) appended since that
+  *                       bucket's last fold. Per-bucket tracking makes the
+  *                       three costly operations proportional to the HOT
+  *                       data, not the table: reads prune delta paths by
+  *                       bucket, depth is tracked per bucket, and a fold
+  *                       rewrites only the buckets at the depth cap —
+  *                       Iceberg MoR semantics with bucket-granular
+  *                       maintenance. Readers resolve base ∪ deltas per key
+  *                       by max _txid; a fold / compaction clears the
+  *                       folded buckets' stacks
   */
 case class Commit(
     version: Long,
@@ -46,11 +51,17 @@ case class Commit(
     rowCounts: Map[String, Long],
     metrics: Map[String, Long],
     queryId: String = "",
-    deltaFiles: Seq[String] = Nil) {
+    deltas: Map[String, Seq[String]] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
-  /** Delta dirs currently stacked on the table (read-amplification gauge). */
-  def deltaDepth: Int = deltaFiles.size
+  /** All delta dirs currently stacked on the table. */
+  def deltaFiles: Seq[String] = deltas.values.flatten.toSeq.distinct
+
+  /** Deepest per-bucket delta stack (read-amplification gauge). */
+  def deltaDepth: Int = deltas.values.foldLeft(0)((m, s) => math.max(m, s.size))
+
+  def deltaDepthOf(bucket: Int): Int =
+    deltas.get(bucket.toString).map(_.size).getOrElse(0)
 }
 
 /** An Iceberg-*semantics* table over plain Parquet + a JSON commit log.
@@ -152,7 +163,10 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
   private def readCommit(spark: SparkSession, c: Commit, buckets: Seq[Int],
       resolve: Boolean = true): DataFrame = {
     val base = buckets.flatMap(b => c.buckets.get(b.toString))
-    if (base.isEmpty && c.deltaFiles.isEmpty) return spark.createDataFrame(
+    // delta dirs are bucket-partitioned, so pruning is PATH selection —
+    // no per-row filter, and buckets without deltas skip resolve cost
+    val deltaRels = buckets.flatMap(b => c.deltas.getOrElse(b.toString, Nil))
+    if (base.isEmpty && deltaRels.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], c.schema)
     // Each data dir was written by exactly one commit (path encodes the
     // version), under that commit's schema. Schema evolution may PROMOTE
@@ -169,7 +183,9 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       }.toIndexedSeq: _*)
     def readGroup(rels: Seq[String]): Option[DataFrame] = {
       if (rels.isEmpty) return None
-      val byVersion = rels.groupBy(rel => rel.split("/")(1)) // data/cVVV[/...]
+      // data/cVVV[/...] for bases, data/cVVVd[/...] for delta dirs —
+      // both were written under commit VVV's schema
+      val byVersion = rels.groupBy(rel => rel.split("/")(1).stripSuffix("d"))
       val distinctSchemas = byVersion.keys.flatMap(schemas.get).map(_.json).toSet
       // fast path (one scan) only when nothing needs reader-side
       // promotion; add-only evolution is fine (missing columns → null)
@@ -188,13 +204,7 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
         }.reduce(_ unionByName _))
     }
     val baseDf = readGroup(base)
-    // delta files span buckets — prune their (small) rows to the
-    // requested bucket set unless the read covers everything
-    val deltaDf = readGroup(c.deltaFiles).map { df =>
-      if (buckets.size >= numBuckets) df
-      else df.where(bucketCol(col("conv_id"))
-        .isin(buckets.map(Integer.valueOf): _*))
-    }
+    val deltaDf = readGroup(deltaRels.distinct)
     val combined = (baseDf, deltaDf) match {
       case (Some(b), Some(d)) => b.unionByName(d)
       case (Some(b), None) => b
@@ -223,13 +233,14 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
   def nextVersion: Long = currentCommit().map(_.version + 1).getOrElse(1L)
 
   /** Atomically publish a new snapshot. `rewritten` are the buckets this
-    * commit touched: Some(relativeDir) replaces the bucket's BASE data,
-    * None removes the bucket entirely (every row deleted). All other
-    * buckets carry forward. `clearDeltas = true` when the rewrite folded
-    * every delta file's rows into the new bases (fold / compaction /
-    * full replay); a partial rewrite keeps them — re-reading a folded
-    * row from a kept delta resolves to the identical row, so partial
-    * rewrites stay correct, just not yet compacted. */
+    * commit REWROTE: Some(relativeDir) replaces the bucket's BASE data,
+    * None removes the bucket entirely (every row deleted). A rewritten
+    * bucket's delta stack is cleared — the rewrite read base ∪ deltas
+    * resolved, so its new base subsumes them. All other buckets (bases
+    * AND delta stacks) carry forward. `deltaAdds` appends one
+    * (deltaDir, rowCount) per bucket to the delta stacks — a single
+    * commit may fold some buckets and delta others (the steady-state
+    * mixed apply), atomically. */
   def commit(
       schema: StructType,
       rewritten: Map[Int, Option[String]],
@@ -238,40 +249,43 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       batchId: Long,
       metrics: Map[String, Long],
       queryId: String = "",
-      clearDeltas: Boolean = false): Commit = {
+      deltaAdds: Map[Int, (String, Long)] = Map.empty): Commit = {
     val prev = currentCommit()
     val carried = prev.map(_.buckets).getOrElse(Map.empty)
     val carriedCounts = prev.map(_.rowCounts).getOrElse(Map.empty)
-    val carriedDeltas = prev.map(_.deltaFiles).getOrElse(Nil)
+    val carriedDeltas = prev.map(_.deltas).getOrElse(Map.empty)
     val dropped = rewritten.collect { case (k, None) => k.toString }.toSet
+    val newDeltas = deltaAdds.foldLeft(
+      carriedDeltas -- rewritten.keys.map(_.toString)) {
+      case (m, (b, (dir, _))) => m.updated(b.toString, m.getOrElse(b.toString, Nil) :+ dir)
+    }
+    val rewrittenCounts = (carriedCounts -- dropped) ++
+      newRowCounts.map { case (k, v) => k.toString -> v }
+    // delta rows join the bucket's physical row count (lineage stays
+    // live for delta commits, not just rewrites)
+    val counts = deltaAdds.foldLeft(rewrittenCounts) {
+      case (m, (b, (_, n))) => m.updated(b.toString, m.getOrElse(b.toString, 0L) + n)
+    }
     publish(Commit(
       prev.map(_.version + 1).getOrElse(1L), batchId, txidWatermark, schema.json,
       (carried -- dropped) ++ rewritten.collect { case (k, Some(v)) => k.toString -> v },
-      (carriedCounts -- dropped) ++ newRowCounts.map { case (k, v) => k.toString -> v },
-      metrics, queryId,
-      if (clearDeltas) Nil else carriedDeltas))
+      counts, metrics, queryId, newDeltas))
   }
 
-  /** Atomically publish a MERGE-ON-READ delta commit: one small delta
-    * dir appended to the stack; bases carry forward untouched.
-    * Steady-state CDC applies land here — O(batch) write, no table
-    * rewrite (reference contrast: the dump pipeline rewrites everything
-    * every cycle, manta/dc_inputs_4.sh). */
+  /** Atomically publish a pure MERGE-ON-READ delta commit: per-bucket
+    * delta dirs appended to their stacks; every base carries forward
+    * untouched. Steady-state CDC applies land here — O(batch) write, no
+    * table rewrite (reference contrast: the dump pipeline rewrites
+    * everything every cycle, manta/dc_inputs_4.sh). */
   def commitDelta(
       schema: StructType,
-      deltaDir: String,
+      deltaAdds: Map[Int, (String, Long)],
       txidWatermark: Long,
       batchId: Long,
       metrics: Map[String, Long],
-      queryId: String = ""): Commit = {
-    val prev = currentCommit()
-    publish(Commit(
-      prev.map(_.version + 1).getOrElse(1L), batchId, txidWatermark, schema.json,
-      prev.map(_.buckets).getOrElse(Map.empty),
-      prev.map(_.rowCounts).getOrElse(Map.empty),
-      metrics, queryId,
-      prev.map(_.deltaFiles).getOrElse(Nil) :+ deltaDir))
-  }
+      queryId: String = ""): Commit =
+    commit(schema, Map.empty, Map.empty, txidWatermark, batchId, metrics,
+      queryId, deltaAdds)
 
   private def publish(c: Commit): Commit = {
     Files.createDirectories(commitsDir)
@@ -309,10 +323,9 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
             .filter(_.startsWith("_bucket=")).toList
         } finally s.close()
       }
-      // every bucket with a base, plus any bucket the delta files
-      // materialized, is folded into the new base; the delta stack clears
-      val liveBuckets = c.buckets.keySet.map(_.toInt) ++
-        (if (c.deltaFiles.nonEmpty) 0 until numBuckets else Nil)
+      // every bucket with a base or a delta stack is folded into the new
+      // base; rewriting them clears their delta stacks in commit()
+      val liveBuckets = c.buckets.keySet.map(_.toInt) ++ c.deltas.keySet.map(_.toInt)
       val rewritten: Map[Int, Option[String]] =
         liveBuckets.map { b =>
           b -> (if (dirs.contains(s"_bucket=$b")) Some(s"$rel/_bucket=$b") else None)
@@ -321,8 +334,7 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       // must leave the per-bucket lineage counts too
       val counts = LakeTable.footerRowCounts(root.resolve(rel))
       commit(c.schema, rewritten, counts, c.txidWatermark, -1L,
-        Map("compaction" -> 1L, "tombstoneHorizon" -> tombstoneHorizon),
-        clearDeltas = true)
+        Map("compaction" -> 1L, "tombstoneHorizon" -> tombstoneHorizon))
     }
 
   /** True if a streaming micro-batch with this id was already committed

@@ -201,6 +201,68 @@ class CdcApplySpec extends SparkSpec {
     assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
   }
 
+  test("per-bucket fold: only buckets at the depth cap are rewritten") {
+    import spark.implicits._
+    val events = corpus(2000)
+    val table = new LakeTable(tmpDir("perbucket"), numBuckets = 16)
+    CdcApply.applyBatch(spark, table, events) // base commit
+    val basePaths = table.currentCommit().get.buckets
+    def patch(txid: Long, conv: String) =
+      Seq((txid, "update", s"e$txid", conv, 0, "user", s"p$txid",
+        null: String, java.sql.Timestamp.valueOf("2014-03-12 00:00:00")))
+        .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val hot = "conv00000001"
+    val hotBucket = spark.range(1).select(table.bucketCol(lit(hot))).head.getInt(0)
+    // two delta commits stack the hot bucket to the cap...
+    CdcApply.applyBatch(spark, table, patch(100001, hot), maxDeltaDepth = 2)
+    CdcApply.applyBatch(spark, table, patch(100002, hot), maxDeltaDepth = 2)
+    assert(table.currentCommit().get.deltaDepthOf(hotBucket) == 2)
+    // ...the third FOLDS — and must rewrite ONLY the hot bucket
+    CdcApply.applyBatch(spark, table, patch(100003, hot), maxDeltaDepth = 2)
+    val folded = table.currentCommit().get
+    assert(folded.metrics("foldedBuckets") == 1L)
+    assert(folded.deltaDepthOf(hotBucket) == 0)
+    assert(folded.buckets(hotBucket.toString) != basePaths(hotBucket.toString))
+    val untouched = basePaths.keySet - hotBucket.toString
+    assert(untouched.forall(b => folded.buckets(b) == basePaths(b)),
+      "fold rewrote buckets that were not at the cap")
+    assert(table.read(spark).where($"conv_id" === hot && $"turn_idx" === 0)
+      .head.getAs[String]("text") == "p100003")
+  }
+
+  test("mixed batch: capped bucket folds while a cold bucket deltas, in ONE commit") {
+    import spark.implicits._
+    val events = corpus(2000)
+    val table = new LakeTable(tmpDir("mixed"), numBuckets = 16)
+    CdcApply.applyBatch(spark, table, events)
+    val hot = "conv00000001"
+    val hotBucket = spark.range(1).select(table.bucketCol(lit(hot))).head.getInt(0)
+    // pick a cold conv that hashes to a DIFFERENT bucket
+    val cold = (2 to 40).map(i => f"conv$i%08d").find { c =>
+      spark.range(1).select(table.bucketCol(lit(c))).head.getInt(0) != hotBucket
+    }.get
+    def patch(txid: Long, conv: String) =
+      Seq((txid, "update", s"e$txid", conv, 0, "user", s"p$txid",
+        null: String, java.sql.Timestamp.valueOf("2014-03-12 00:00:00")))
+        .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    CdcApply.applyBatch(spark, table, patch(100001, hot), maxDeltaDepth = 2)
+    CdcApply.applyBatch(spark, table, patch(100002, hot), maxDeltaDepth = 2)
+    val before = table.commitLog().size
+    // hot is at the cap, cold is not — one batch touching both
+    CdcApply.applyBatch(spark, table,
+      patch(100003, hot).unionByName(patch(100004, cold)), maxDeltaDepth = 2)
+    val c = table.currentCommit().get
+    assert(table.commitLog().size == before + 1, "mixed apply must be ONE commit")
+    assert(c.metrics("foldedBuckets") == 1L && c.metrics("deltaRows") == 1L)
+    assert(c.deltaDepthOf(hotBucket) == 0)
+    val coldBucket = spark.range(1).select(table.bucketCol(lit(cold))).head.getInt(0)
+    assert(c.deltaDepthOf(coldBucket) >= 1)
+    val got = table.read(spark).where($"turn_idx" === 0 &&
+        $"conv_id".isin(hot, cold))
+      .select("conv_id", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got(hot) == "p100003" && got(cold) == "p100004")
+  }
+
   test("ignore list: novel junk field does not widen the table schema") {
     val events = corpus(800)
     val junked = events.withColumn("junk_debug_field", lit("noise"))
