@@ -79,15 +79,25 @@ object DumpQueries {
     // construction, so the expected output is direct SQL.
     QueryDef("q46_json_array_index",
       (s, d) => {
-        val k = get_json_object(col("props"), "$.k").cast("int")
+        // compose the doc from ONE extraction of k (non-cheap expr, so
+        // CollapseProject keeps it materialized instead of re-parsing
+        // props per use), then ONE from_json parse serves both
+        // positional paths — the plan parses each JSON string exactly
+        // once, vs one parse per get_json_object path
         val doc = to_json(struct(array(
-          struct(k.as("v"), col("event_type").as("t")),
-          struct((k * 2).as("v"), lit("x").as("t"))).as("items")))
-        t(s, d, "events").select(col("event_id"), doc.as("doc"))
-          .withColumn("v0", get_json_object(col("doc"), "$.items[0].v").cast("int"))
-          .withColumn("t1", get_json_object(col("doc"), "$.items[1].t"))
+          struct(col("k").as("v"), col("event_type").as("t")),
+          struct((col("k") * 2).as("v"), lit("x").as("t"))).as("items")))
+        t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .select(col("event_id"), doc.as("doc"))
+          .select(col("event_id"), from_json(col("doc"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              "items ARRAY<STRUCT<v: INT, t: STRING>>")).as("p"))
+          .select(col("event_id"),
+            col("p.items").getItem(0).getField("v").as("v0"),
+            col("p.items").getItem(1).getField("t").as("t1"))
           .where(col("v0").between(5, 15))
-          .select("event_id", "v0", "t1")
       },
       Some("""SELECT event_id, k AS v0, 'x' AS t1 FROM (
         SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k

@@ -47,25 +47,74 @@ object MorayDump {
       .toSeq.sortBy(_._1)
   }
 
+  /** Header discovery WITHOUT a data pre-scan: the reference replicates
+    * the header as LINE 1 of every shard (manta/dc_inputs.sh:49-60), so
+    * discovery is one buffered open + one line read per shard —
+    * O(files) driver-side metadata work, the same order as Spark's own
+    * file listing, instead of a full Spark pass over every byte. Files
+    * whose first line is not a header (e.g. split continuation shards)
+    * simply contribute no mapping. */
+  private def stripScheme(uri: String): String =
+    "/" + uri.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "").stripPrefix("/")
+
+  private def firstLineHeaders(path: String): Map[String, (String, Seq[String])] = {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(path)
+    val files =
+      if (Files.isDirectory(root)) {
+        val s = Files.walk(root)
+        try s.iterator().asScala.filter(Files.isRegularFile(_))
+          .filterNot { p =>
+            val n = p.getFileName.toString
+            n.startsWith("_") || n.startsWith(".")
+          }.toList
+        finally s.close()
+      } else if (Files.isRegularFile(root)) List(root) else Nil
+    files.flatMap { f =>
+      val line =
+        try {
+          val r = Files.newBufferedReader(f)
+          try Option(r.readLine()) finally r.close()
+        } catch { case _: Throwable => None }
+      line.filter(l => l.contains("\"keys\"") && l.trim.startsWith("{")).flatMap { l =>
+        try {
+          val json = org.json4s.jackson.JsonMethods.parse(l)
+          (json \ "name", json \ "keys") match {
+            case (org.json4s.JString(n), org.json4s.JArray(ks))
+                if ks.forall(_.isInstanceOf[org.json4s.JString]) =>
+              Some(f.toUri.toString ->
+                ((n, ks.collect { case org.json4s.JString(k) => k })))
+            case _ => None
+          }
+        } catch { case _: Throwable => None }
+      }
+    }.toMap
+  }
+
   /** Read one bucket's dump into a DataFrame with the header's columns
     * (positional resolution, reference lib/moraydump_reorg.js:327-351,
     * 399-409). Entry lines don't name their table — attribution is by
-    * FILE: every shard carries its own header (the reference replicates
-    * it, manta/dc_inputs.sh:49-60), so a multi-bucket dir is resolved by
-    * reading each header's `_metadata.file_path` and pruning the entry
-    * scan to the chosen bucket's files. Single-bucket dirs (the normal
-    * case) skip the file filter entirely. */
+    * FILE: every shard carries its own header, discovered from each
+    * file's first line (driver-side, no data pre-scan; a dump whose
+    * headers sit mid-file — e.g. concatenated shards — falls back to
+    * one distributed header scan). The entry read is then a SINGLE
+    * Spark scan, pruned to the chosen bucket's files only when the dir
+    * actually holds multiple buckets. */
   def readDump(
       spark: SparkSession, path: String,
       bucket: Option[String] = None): DataFrame = {
-    def raw = spark.read.option("recursiveFileLookup", "true").text(path)
-      .select(from_json(col("value"), lineSchema).as("r"),
-        col("_metadata.file_path").as("_f"))
-    val headerRows = raw.where(col("r.keys").isNotNull)
-      .select(col("r.name"), col("r.keys"), col("_f")).collect()
-    require(headerRows.nonEmpty, s"no dump header found under $path")
-    val byFile: Map[String, (String, Seq[String])] = headerRows
-      .map(r => r.getString(2) -> ((r.getString(0), r.getSeq[String](1)))).toMap
+    val byFile: Map[String, (String, Seq[String])] = {
+      val fast = firstLineHeaders(path)
+      if (fast.nonEmpty) fast
+      else spark.read.option("recursiveFileLookup", "true").text(path)
+        .select(from_json(col("value"), lineSchema).as("r"),
+          col("_metadata.file_path").as("_f"))
+        .where(col("r.keys").isNotNull)
+        .select(col("r.name"), col("r.keys"), col("_f")).collect()
+        .map(r => r.getString(2) -> ((r.getString(0), r.getSeq[String](1)))).toMap
+    }
+    require(byFile.nonEmpty, s"no dump header found under $path")
     val chosen = byFile.filter { case (_, (n, _)) => bucket.forall(_ == n) }
     require(chosen.nonEmpty, s"no dump header under $path" +
       bucket.map(b => s" for bucket $b").getOrElse(""))
@@ -75,9 +124,21 @@ object MorayDump {
         headerSet.map(_._1).mkString(",") + " — pass bucket=Some(name)")
     val (name, keys) = headerSet.head
     val singleBucket = byFile.values.toSeq.distinct.size == 1
-    val entries = raw
-      .where(col("r.entry").isNotNull &&
-        (if (singleBucket) lit(true) else col("_f").isin(chosen.keys.toSeq: _*)))
+    val raw =
+      if (singleBucket)
+        spark.read.option("recursiveFileLookup", "true").text(path)
+          .select(from_json(col("value"), lineSchema).as("r"))
+      else {
+        // scheme rendering differs between nio URIs ("file:///x") and
+        // Spark's file_path ("file:/x") — compare scheme-less paths
+        val chosenPaths = chosen.keys.map(stripScheme).toSeq
+        spark.read.option("recursiveFileLookup", "true").text(path)
+          .select(from_json(col("value"), lineSchema).as("r"),
+            regexp_replace(col("_metadata.file_path"),
+              "^[a-zA-Z0-9.+-]+:/+", "/").as("_f"))
+          .where(col("_f").isin(chosenPaths: _*))
+      }
+    val entries = raw.where(col("r.entry").isNotNull)
       .select(col("r.entry").as("entry"))
     entries.select(keys.zipWithIndex.map { case (k, i) =>
       col("entry").getItem(i).as(k)

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.cdc.CdcApply
 import graft.table.LakeTable
@@ -17,20 +18,27 @@ import graft.table.LakeTable
   *  - Spark's checkpoint replays an unacknowledged micro-batch after
   *    restart (at-least-once delivery);
   *  - the table's commit log records (queryId, batchId, txid
-  *    watermark), so a replayed batch is detected and skipped
-  *    (idempotent sink) — the pair is exactly-once. The queryId scopes
-  *    the check to THIS checkpoint (Delta's txnAppId/txnVersion shape):
-  *    batch ids restart at 0 per checkpoint, so a bare-batchId check
-  *    would silently drop the first batches of a new checkpoint pointed
-  *    at an existing table.
+  *    watermark), so a replayed batch is detected and skipped BEFORE
+  *    any per-batch work runs (idempotent sink) — the pair is
+  *    exactly-once. The queryId is Spark's own checkpointed stream id
+  *    (`<checkpointDir>/metadata`), which Spark regenerates when a
+  *    checkpoint is wiped — so a "reprocess" that deletes the
+  *    checkpoint dir but reuses its PATH gets a fresh identity and its
+  *    restarted batch 0 is not mistaken for the old run's (Delta's
+  *    txnAppId/txnVersion shape).
   *
-  * Novel-field absorption / schema evolution: each micro-batch is
-  * re-parsed with `spark.read.json` schema inference, so a field that
-  * first appears mid-stream (e.g. `tool`) surfaces as a new column and
-  * CdcApply widens the table schema on commit (reference analogue:
-  * novel-key sweep into `_s`, lib/moraydump_reorg.js:501-529) — unless
-  * the field is in `ignoreFields` (manifest `source.ignore`,
-  * lib/wf_keys_tojson.js:113-134).
+  * Novel-field absorption / schema evolution WITHOUT per-batch
+  * inference: the stream caches the inferred event schema and parses
+  * each micro-batch exactly once with `from_json`. Drift is detected in
+  * the same single pass — novel top-level keys via `json_object_keys`
+  * vs the cached schema, type drift via the corrupt-record column (a
+  * value that no longer fits its cached type marks the row corrupt) —
+  * and only a drifted batch pays schema re-inference + a re-parse, after
+  * which the cache is widened along the promotion lattice (reference
+  * analogue: novel-key sweep into `_s`, lib/moraydump_reorg.js:501-529)
+  * — unless the field is in `ignoreFields` (manifest `source.ignore`,
+  * lib/wf_keys_tojson.js:113-134). Genuinely malformed lines (corrupt
+  * even under the re-inferred schema) are dropped, not absorbed.
   *
   * Lineage (reference P6, lib/moraydump_reorg.js:179-192,589-592):
   * every line carries its source file via the file source's
@@ -38,6 +46,13 @@ import graft.table.LakeTable
   * the commit metrics and IngestMetrics. The datacenter is the
   * changelog subdirectory name (layout `<changelogDir>/<dc>/segment-*`);
   * flat layouts get dc = "default".
+  *
+  * Maintenance: the tail auto-compacts when accumulated delete
+  * tombstones cross `autoCompactMinDeletes` AND ≥20% of the table's
+  * physical rows — compaction drops tombstones older than
+  * `txidWatermark - tombstoneLag` (the lateness bound: a tombstone may
+  * only be dropped once no stale event older than it can still arrive)
+  * and merges each bucket's accumulated small files.
   */
 object CdcStream {
 
@@ -45,6 +60,8 @@ object CdcStream {
     * segments must round-trip microseconds or replayed rows differ from
     * the source by sub-ms truncation. */
   val TimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  private val CorruptCol = "__graft_corrupt"
 
   /** Write one NDJSON changelog segment with lossless timestamps
     * (both zoned and NTZ variants — parquet-sourced ts columns are
@@ -68,12 +85,30 @@ object CdcStream {
     }.toIndexedSeq: _*)
   }
 
-  /** Stable stream identity for sink-side idempotence: derived from the
-    * checkpoint location, so a resumed stream keeps its identity and a
-    * NEW checkpoint (whose batch ids restart at 0) gets a new one. */
-  def queryIdFor(checkpointDir: String): String =
-    "ckpt-" + java.util.UUID.nameUUIDFromBytes(
-      checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+  /** Stable stream identity for sink-side idempotence: Spark's own
+    * checkpointed query id (the `id` field of `<checkpointDir>/
+    * metadata`, regenerated whenever the checkpoint is recreated), so a
+    * wiped-and-recreated checkpoint at the SAME path — whose batch ids
+    * restart at 0 — cannot collide with the old run's commits. Falls
+    * back to a path hash only if the metadata file is absent/unreadable
+    * (pre-start callers). */
+  def queryIdFor(checkpointDir: String): String = {
+    val metaPath = java.nio.file.Paths.get(
+      checkpointDir.stripPrefix("file:"), "metadata")
+    val fromMeta =
+      try {
+        if (java.nio.file.Files.isRegularFile(metaPath)) {
+          val json = org.json4s.jackson.JsonMethods.parse(
+            java.nio.file.Files.readString(metaPath))
+          (json \ "id") match {
+            case org.json4s.JString(id) if id.nonEmpty => Some("qid-" + id)
+            case _ => None
+          }
+        } else None
+      } catch { case _: Throwable => None }
+    fromMeta.getOrElse("ckpt-" + java.util.UUID.nameUUIDFromBytes(
+      checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
+  }
 
   def start(
       spark: SparkSession,
@@ -82,8 +117,28 @@ object CdcStream {
       checkpointDir: String,
       maxFilesPerTrigger: Int = 16,
       ignoreFields: Set[String] = Set.empty,
+      autoCompactMinDeletes: Long = 5000L,
+      tombstoneLag: Long = 1000000L,
       onBatch: (Long, graft.cdc.ApplyStats) => Unit = (_, _) => ()): StreamingQuery = {
-    val queryId = queryIdFor(checkpointDir)
+    // datacenter = the first directory level under the changelog root
+    // (layout <root>/<dc>/.../segment-files); anything shallower reads
+    // as "default". Globs in changelogDir are cut before taking the
+    // root's basename. Constant per stream — computed once.
+    val rootBase = {
+      val cut = changelogDir.indexWhere(c => "*?[".contains(c))
+      val prefix = if (cut >= 0) {
+        val p = changelogDir.substring(0, cut)
+        p.substring(0, math.max(p.lastIndexOf('/'), 0))
+      } else changelogDir.stripSuffix("/")
+      prefix.substring(prefix.lastIndexOf('/') + 1)
+    }
+    val dcPattern = ".*/" + java.util.regex.Pattern.quote(rootBase) + "/([^/]+)/.*"
+
+    // per-stream mutable state: the cached event schema (re-inferred
+    // only on detected drift) and the resolved stream identity
+    @volatile var schemaCache: StructType = null
+    @volatile var queryIdCache: String = null
+
     val lines: DataFrame = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("recursiveFileLookup", "true")
@@ -96,59 +151,110 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
-        import session.implicits._
-        // per-batch schema inference (batch-local novel-field detection):
-        // infer on the values once, then parse keeping the lineage path
-        val inferred = session.read.json(
-          batch.select("value").as[String](org.apache.spark.sql.Encoders.STRING))
-        if (inferred.columns.contains("_txid")) {
-          // datacenter = the first directory level under the changelog
-          // root (layout <root>/<dc>/.../segment-files); anything
-          // shallower reads as "default". Globs in changelogDir are cut
-          // before taking the root's basename.
-          val rootBase = {
-            val cut = changelogDir.indexWhere(c => "*?[".contains(c))
-            val prefix = if (cut >= 0) {
-              val p = changelogDir.substring(0, cut)
-              p.substring(0, math.max(p.lastIndexOf('/'), 0))
-            } else changelogDir.stripSuffix("/")
-            prefix.substring(prefix.lastIndexOf('/') + 1)
+        if (queryIdCache == null) queryIdCache = queryIdFor(checkpointDir)
+        val queryId = queryIdCache
+        // crash-replay pre-check: a replayed batch must not pay ANY
+        // Spark job (the summary agg alone is a full batch pass)
+        if (batchId < 0 || !table.hasBatch(batchId, queryId)) {
+          def inferSchema(): StructType = {
+            val s = session.read.json(batch.select("value")
+              .as[String](org.apache.spark.sql.Encoders.STRING)).schema
+            StructType(s.fields.filterNot(_.name == "_corrupt_record"))
           }
-          val dcPattern = ".*/" + java.util.regex.Pattern.quote(rootBase) + "/([^/]+)/.*"
-          val parsed = batch.select(
-              from_json(col("value"), inferred.schema).as("e"), col("_path"))
-            .select(col("e.*"),
-              regexp_extract(col("_path"), "([^/]+)$", 1).as("_origin_file"),
-              coalesce(nullif(
-                regexp_extract(col("_path"), dcPattern, 1), lit("")),
-                lit("default")).as("_origin_dc"))
-          val events = normalize(parsed)
-          val t0 = System.nanoTime()
-          // ONE summary agg per batch: per-DC lineage counters, distinct
-          // origin files, and the newest event time (ingest-lag input) —
-          // grouping sets keep it a single job instead of three
-          val hasTs = events.columns.contains("ts")
-          val summary = events.groupBy("_origin_dc").agg(
-            count(lit(1)).as("n"),
-            countDistinct(col("_origin_file")).as("nf"),
-            (if (hasTs) max(col("ts")).cast("long")
-             else lit(null).cast("long")).as("maxTs")).collect()
-          val lineage: Map[String, Long] = summary
-            .map(r => s"dc:${r.getString(0)}" -> r.getLong(1)).toMap
-          val nFiles = summary.map(_.getLong(2)).sum
-          val maxTs = summary.flatMap(r =>
-            if (r.isNullAt(3)) None else Some(r.getLong(3)))
-          val stats = CdcApply.applyBatch(session, table, events,
-            batchId = batchId, queryId = queryId, ignoreFields = ignoreFields,
-            extraMetrics = lineage + ("originFiles" -> nFiles))
-          val ms = (System.nanoTime() - t0) / 1000000
-          // ingest lag: wall-clock minus newest event time in the batch
-          // (north-star metric; negative/absent ts → no lag reading)
-          if (stats.applied > 0 && maxTs.nonEmpty) {
-            val lagMs = System.currentTimeMillis() - maxTs.max * 1000L
-            IngestMetrics.record(table.location, batchId, lagMs, ms, stats)
+          if (schemaCache == null) {
+            val inf = inferSchema() // once per stream, not per batch
+            if (inf.fieldNames.contains("_txid")) schemaCache = inf
           }
-          onBatch(ms, stats)
+          if (schemaCache != null) {
+            val t0 = System.nanoTime()
+            val knownForDetect: Array[String] =
+              (schemaCache.fieldNames.toSet ++ ignoreFields + "_corrupt_record").toArray
+            def parseWith(schema: StructType): DataFrame = {
+              val parseSchema = StructType(
+                schema.fields :+ StructField(CorruptCol, StringType))
+              batch.select(
+                  from_json(col("value"), parseSchema,
+                    Map("columnNameOfCorruptRecord" -> CorruptCol)).as("e"),
+                  array_except(json_object_keys(col("value")),
+                    lit(knownForDetect)).as("__novel"),
+                  col("_path"))
+                .select(col("e.*"), col("__novel"),
+                  regexp_extract(col("_path"), "([^/]+)$", 1).as("_origin_file"),
+                  coalesce(nullif(
+                    regexp_extract(col("_path"), dcPattern, 1), lit("")),
+                    lit("default")).as("_origin_dc"))
+            }
+            var enriched = parseWith(schemaCache)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              // ONE pass over the batch: per-DC lineage counters, distinct
+              // origin files, newest event time (ingest-lag input), novel
+              // keys and corrupt rows (drift detection) — a single job
+              // that also materializes the cache every later job reads
+              val hasTs = schemaCache.fieldNames.contains("ts")
+              def summarize(df: DataFrame) = df.groupBy("_origin_dc").agg(
+                count(lit(1)).as("n"),
+                countDistinct(col("_origin_file")).as("nf"),
+                (if (hasTs) max(col("ts").cast("timestamp")).cast("long")
+                 else lit(null).cast("long")).as("maxTs"),
+                sum(col(CorruptCol).isNotNull.cast("long")).as("nCorrupt"),
+                array_distinct(flatten(collect_set(col("__novel")))).as("novel"))
+                .collect()
+              var summary = summarize(enriched)
+              val novelKeys = summary.flatMap(r =>
+                Option(r.getSeq[String](5)).getOrElse(Nil)).distinct
+              val nCorrupt = summary.map(_.getLong(4)).sum
+              if (novelKeys.nonEmpty || nCorrupt > 0) {
+                // drift: widen the cached schema along the promotion
+                // lattice and re-parse this batch once. If re-inference
+                // changes nothing (genuinely malformed lines), the
+                // corrupt rows are dropped below rather than re-chased.
+                val evolved = CdcApply.evolveSchema(
+                  schemaCache, inferSchema(), ignoreFields)
+                if (evolved != schemaCache) {
+                  schemaCache = evolved
+                  enriched.unpersist()
+                  enriched = parseWith(evolved)
+                    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                  summary = summarize(enriched)
+                }
+              }
+              val lineage: Map[String, Long] = summary
+                .map(r => s"dc:${r.getString(0)}" -> r.getLong(1)).toMap
+              val nFiles = summary.map(_.getLong(2)).sum
+              val maxTs = summary.flatMap(r =>
+                if (r.isNullAt(3)) None else Some(r.getLong(3)))
+              val events = normalize(enriched
+                .where(col(CorruptCol).isNull)
+                .drop(CorruptCol, "__novel"))
+              val stats = CdcApply.applyBatch(session, table, events,
+                batchId = batchId, queryId = queryId, ignoreFields = ignoreFields,
+                extraMetrics = lineage + ("originFiles" -> nFiles))
+              val ms = (System.nanoTime() - t0) / 1000000
+              // ingest lag: wall-clock minus newest event time in the batch
+              // (north-star metric; negative/absent ts → no lag reading)
+              if (stats.applied > 0 && maxTs.nonEmpty) {
+                val lagMs = System.currentTimeMillis() - maxTs.max * 1000L
+                IngestMetrics.record(table.location, batchId, lagMs, ms, stats)
+              }
+              // auto-compaction: once tombstones are both numerous and a
+              // meaningful share of the table, fold every bucket and drop
+              // tombstones older than the lateness bound. O(table) —
+              // triggered only when ≥20% of it is reclaimable.
+              if (stats.applied > 0) {
+                val log = table.commitLog()
+                val sinceCompact = log.reverse
+                  .takeWhile(c => !c.metrics.contains("compaction"))
+                val delSince = sinceCompact
+                  .map(_.metrics.getOrElse("deletes", 0L)).sum
+                val totalRows = log.last.rowCounts.values.sum
+                if (delSince >= autoCompactMinDeletes && delSince * 5 >= totalRows)
+                  table.compact(session,
+                    tombstoneHorizon = stats.txidWatermark - tombstoneLag)
+              }
+              onBatch(ms, stats)
+            } finally enriched.unpersist()
+          }
         }
         ()
       }

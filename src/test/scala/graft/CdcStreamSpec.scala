@@ -121,6 +121,97 @@ class CdcStreamSpec extends SparkSpec {
       s"second stream's batch 0 was dropped (watermark ${table.txidWatermark})")
   }
 
+  test("wiped-and-recreated checkpoint at the SAME path must not skip new batches") {
+    val e1 = Corpus.changeEvents(spark, 500, nConvs = 20, maxTurns = 6)
+    val logDir = tmpDir("wipe-log")
+    writeChangelog(logDir, e1, Seq((1L, 500L)))
+    val table = new LakeTable(tmpDir("wipe-table"), numBuckets = 8)
+    val ckpt = tmpDir("wipe-ckpt")
+    CdcStream.runOnce(spark, s"$logDir/chunk*", table, ckpt)
+    assert(table.txidWatermark == 500L)
+    // operator "reprocess" action: wipe the checkpoint, keep its PATH.
+    // The recreated stream's batch ids restart at 0 — if the stream
+    // identity were derived from the path alone, batch 0 (which now
+    // carries genuinely NEW events) would collide with the old run's
+    // batch 0 commit and be silently dropped.
+    val ckptPath = java.nio.file.Paths.get(ckpt)
+    val walk = java.nio.file.Files.walk(ckptPath)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally walk.close()
+    val e2 = e1.withColumn("_txid", col("_txid") + 1000L)
+      .withColumn("text", concat(lit("v2 "), coalesce(col("text"), lit(""))))
+    writeChangelog(logDir, e2, Seq((1L, 500L), (1001L, 1500L)))
+    CdcStream.runOnce(spark, s"$logDir/chunk*", table, ckpt)
+    assert(table.txidWatermark == 1500L,
+      s"recreated checkpoint's batches were dropped (watermark ${table.txidWatermark})")
+  }
+
+  test("auto-compaction: heavy deletes trigger a fold; lateness-bounded tombstones survive") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2014-03-11 00:00:01")
+    def ev(txid: Long, op: String, conv: String, text: String) =
+      (txid, op, s"e$txid", conv, 0,
+        if (op == "delete") null else "user",
+        if (op == "delete") null else text,
+        null: String, if (op == "delete") null else ts)
+    val cols = Seq("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val inserts = (0 until 500).map(i => ev(i + 1L, "update", s"c$i", s"t$i")).toDF(cols: _*)
+    val deletes = (0 until 400).map(i => ev(1000L + i, "delete", s"c$i", "")).toDF(cols: _*)
+    val logDir = tmpDir("compact-log")
+    CdcStream.writeSegment(inserts, s"$logDir/seg0")
+    CdcStream.writeSegment(deletes, s"$logDir/seg1")
+    val table = new LakeTable(tmpDir("compact-table"), numBuckets = 8)
+    val ckpt = tmpDir("compact-ckpt")
+    // tombstoneLag 200: horizon = 1399 - 200 = 1199 → delete tombstones
+    // with txid ≥ 1199 must survive the compaction, older ones drop
+    CdcStream.start(spark, s"$logDir/seg*", table, ckpt, maxFilesPerTrigger = 1,
+      autoCompactMinDeletes = 100L, tombstoneLag = 200L).awaitTermination()
+    assert(table.commitLog().exists(_.metrics.contains("compaction")),
+      "heavy deletes did not trigger auto-compaction")
+    val physical = table.readRaw(spark).count()
+    // 100 live + ~200 kept tombstones, vs 900 physical rows uncompacted
+    assert(physical < 400, s"compaction did not shrink the table: $physical rows")
+    assert(table.read(spark).count() == 100)
+    // resurrection safety: c300's delete (txid 1300 ≥ horizon) kept its
+    // tombstone — a stale update older than the delete must stay dead
+    val stale = Seq(ev(1299L, "update", "c300", "stale")).toDF(cols: _*)
+    CdcStream.writeSegment(stale, s"$logDir/seg2")
+    CdcStream.runOnce(spark, s"$logDir/seg*", table, ckpt)
+    assert(table.read(spark).where($"conv_id" === "c300").count() == 0,
+      "stale update resurrected a tombstoned key after compaction")
+  }
+
+  test("type drift mid-stream: payload column widens int → double via corrupt-row detection") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2014-03-11 00:00:01")
+    val cols = Seq("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val e1 = (0 until 50).map(i =>
+        (i + 1L, "update", s"e$i", s"c$i", 0, "user", s"t$i", null: String, ts))
+      .toDF(cols: _*).withColumn("score", lit(7))
+    val e2 = (0 until 50).map(i =>
+        (100L + i, "update", s"f$i", s"d$i", 0, "user", s"u$i", null: String, ts))
+      .toDF(cols: _*).withColumn("score", lit(2.5))
+    val logDir = tmpDir("drift-log")
+    CdcStream.writeSegment(e1, s"$logDir/seg0")
+    val table = new LakeTable(tmpDir("drift-table"), numBuckets = 8)
+    val ckpt = tmpDir("drift-ckpt")
+    CdcStream.runOnce(spark, s"$logDir/seg*", table, ckpt)
+    assert(table.currentCommit().get.schema("score").dataType ==
+      org.apache.spark.sql.types.LongType) // JSON integers infer as long
+    CdcStream.writeSegment(e2, s"$logDir/seg1")
+    CdcStream.runOnce(spark, s"$logDir/seg*", table, ckpt)
+    assert(table.currentCommit().get.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType,
+      s"drifted column not widened: ${table.currentCommit().get.schema("score")}")
+    val scores = table.read(spark).select("conv_id", "score")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("c1") == 7.0 && scores("d1") == 2.5)
+    assert(table.read(spark).count() == 100)
+  }
+
   test("schema evolution arrives mid-stream: tool column absorbed from late segments") {
     // corpus: tool is null before the evolve point → NDJSON omits the
     // key entirely → early segments genuinely lack the field
