@@ -135,6 +135,47 @@ object CdcQueries {
       },
       Some(lastWriterOracle)),
 
+    // watermarked streaming windowed aggregation (§2.12 last row):
+    // events → NDJSON → readStream → 6h tumbling windows per user with a
+    // 1h lateness watermark, APPEND mode (only watermark-closed windows
+    // are emitted). The oracle computes the same windows in batch SQL
+    // and keeps exactly those the final watermark (max ts − 1h) has
+    // provably closed — so the streaming eviction semantics themselves
+    // are what the driver hash-checks. Window starts surface as epoch
+    // seconds (both engines' native timestamp renderings differ).
+    QueryDef("q49_stream_window_agg",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val logDir = scratch("winlog-")
+        graft.streaming.CdcStream.writeSegment(
+          t(s, d, "events").select(col("user_id"), col("ts")), logDir, parts = 3)
+        val parsed = s.readStream.option("maxFilesPerTrigger", 1).text(logDir)
+          .select(
+            get_json_object(col("value"), "$.user_id").cast("bigint").as("user_id"),
+            get_json_object(col("value"), "$.ts").cast("timestamp").as("ts"))
+          .where(col("ts").isNotNull)
+        val windowed = parsed
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").cast("long").as("win_start"), col("user_id"), col("n"))
+        val sink = "q49_win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = windowed.writeStream
+          .option("checkpointLocation", scratch("winckpt-"))
+          .format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      },
+      Some("""WITH e AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL),
+        win AS (SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS win_start,
+                  user_id, count(*) AS n
+                FROM e GROUP BY 1, 2)
+        SELECT win_start, user_id, n FROM win
+        WHERE win_start + 21600 <= (SELECT epoch(max(ts)) - 3600 FROM e)""")),
+
     // point lookup through the lake table's bucket pruning: replay,
     // then read ONE conversation — the engine prunes the scan to the
     // single bucket its key hashes to (PlanSpec asserts the file-level

@@ -56,20 +56,32 @@ object InferJsonQueries {
         FROM (SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
           FROM events)""")),
 
-    // embedding-cosine near-dup: planted perturbed copies (×1.02 scale
-    // + tiny index-dependent jitter keeps cosine ≈ 1) must be recovered
-    // by the symmetric LSH self-join path — shuffle join on (tbl, bkt)
-    // with a hard per-bucket cap, never a corpus broadcast, never a
-    // full n² scan
+    // embedding-cosine near-dup: planted perturbed copies (tiny
+    // md5-derived index-dependent jitter keeps cosine ≈ 1) must be
+    // recovered by the symmetric LSH self-join path — shuffle join on
+    // (tbl, bkt) with a hard per-bucket cap, never a corpus broadcast,
+    // never a full n² scan. The jitter is md5-based (not xxhash64) so
+    // the DuckDB oracle reproduces the corpus exactly; the oracle is the
+    // EXHAUSTIVE O(n²) cosine self-join at the same 0.95 threshold —
+    // with 12 planes × 12 tables, a planted pair at cos ≈ 0.999 is
+    // missed with probability ≈ (1-(1-θ/π)^12)^12 < 1e-10, so the LSH
+    // output must equal the exhaustive answer (q32's oracle pattern).
     QueryDef("q43_embed_neardups",
       (s, d) => {
         val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val perturbed = e.select((col("vec_id") + 100000L).as("vec_id"),
-          zip_with(col("embedding"),
-            sequence(lit(0), size(col("embedding")) - 1),
-            (x, i) => x.cast("double") * (lit(1.0) +
-              (pmod(xxhash64(col("vec_id"), i), lit(7L)).cast("double") - 3.0) / 100.0))
-            .as("embedding"))
+        // jitter keys off a RENAMED copy of the original id: with the
+        // bare name, Spark resolves `vec_id` inside the lambda to the
+        // sibling alias (vec_id + 100000) — lateral resolution — while
+        // the SQL oracle binds the source column; orig_id is unambiguous
+        val perturbed = e.select(col("vec_id").as("orig_id"), col("embedding"))
+          .select((col("orig_id") + 100000L).as("vec_id"),
+            zip_with(col("embedding"),
+              sequence(lit(0), size(col("embedding")) - 1),
+              (x, i) => x.cast("double") * (lit(1.0) +
+                ((conv(substring(md5(concat(col("orig_id").cast("string"),
+                  lit("|"), i.cast("string"))), 1, 6), 16, 10).cast("bigint")
+                  % 7).cast("double") - 3.0) / 100.0))
+              .as("embedding"))
         val all = e.select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("embedding"))
           .unionByName(perturbed)
@@ -77,5 +89,22 @@ object InferJsonQueries {
             planes = 12, tables = 12, maxBucket = 64)
           .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim_r"))
       },
-      None))
+      Some("""WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pert AS (
+          -- base.vec_id qualified: DuckDB would otherwise resolve the
+          -- bare name as the LATERAL alias (vec_id + 100000), while the
+          -- Spark select resolves it against the input row
+          SELECT base.vec_id + 100000 AS vec_id,
+            list_transform(v, (x, i) -> x * (1.0 +
+              (CAST(concat('0x', substr(md5(concat(CAST(base.vec_id AS VARCHAR), '|',
+                CAST(i - 1 AS VARCHAR))), 1, 6)) AS BIGINT) % 7 - 3) / 100.0)) AS v
+          FROM base),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round(cos, 4) AS cos_sim_r FROM pairs WHERE cos >= 0.95""")))
 }

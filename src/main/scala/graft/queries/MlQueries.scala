@@ -28,11 +28,32 @@ object MlQueries {
         concat(col("text"), lit(" mutated")).as("text")))
 
   val defs: Seq[QueryDef] = Seq(
+    // MinHash+LSH near-dups. The driver-checked projection is the PAIR
+    // SET: the corpus' true near-dups (planted mutants) sit at Jaccard
+    // ≈ 0.95 and everything else near 0, so the k=64 signature estimate
+    // (σ ≈ 0.06) and the exact Jaccard agree on which side of 0.5 every
+    // pair falls — the exhaustive O(n²) exact-Jaccard oracle must equal
+    // the LSH output. The estimate VALUES are signature-dependent (not
+    // SQL-reproducible); their accuracy is property-tested in MlSpec.
     QueryDef("q30_minhash_lsh_neardups",
       (s, d) => Similarity.minhashNearDups(
         withMutants(t(s, d, "documents")), "doc_id", "text",
-        shingleN = 3, k = 64, bands = 16, threshold = 0.5),
-      None),
+        shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b"),
+      Some("""WITH d AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text || ' mutated' AS text FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 2, 1) + 1),
+            i -> array_to_string(toks[i:i+2], ' '))) AS shg
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(list_intersect(a.shg, b.shg))) * 2
+          >= len(list_distinct(a.shg || b.shg))""")),
 
     QueryDef("q31_simhash_neardups",
       (s, d) => Similarity.simhashNearDups(
