@@ -22,6 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Reference anchor: content-hash dedup family (md5 row hash,
   * /root/reference/lib/moraydump_reorg.js:549-551) extended to the
   * near-dup operators the training-data mandate adds.
+  *
+  * COMPATIBILITY: this expression skips empty tokens, while the HOF
+  * implementation it replaced (split-then-hash) hashed the empty
+  * strings produced by consecutive/leading whitespace — so simhash64
+  * values differ from pre-replacement ones for any text with repeated
+  * spaces. The skip-empties behavior is the correct one (an edit that
+  * only changes run-length of whitespace should not flip fingerprint
+  * bits); treat stored fingerprints from the old formulation as a
+  * different dataset version rather than mixing the two.
   */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
 

@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Deterministic cache lifecycle for the near-dup operators: the
+    * candidate-pair RESULT (small — bounded by bucket caps) is
+    * materialized once into its own cache, after which the heavy
+    * per-document intermediates (shingle/signature/vector frames, which
+    * would otherwise stay pinned on disk until session end) are
+    * released. Callers get an already-computed frame; re-invocations in
+    * a long-lived session no longer accumulate MEMORY_AND_DISK blocks. */
+  private[ml] def materializeAndRelease(
+      result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try out.count()
+    finally intermediates.foreach(_.unpersist())
+    out
+  }
+
   /** Word n-gram shingles of a text column (distinct). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
@@ -84,12 +99,14 @@ object Similarity {
     val candidates = l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    candidates
-      .join(sigs.select(col("_id").as("id_a"), col("_sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("_id").as("id_b"), col("_sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        signatureJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .where(col("est_jaccard") >= threshold)
+    materializeAndRelease(
+      candidates
+        .join(sigs.select(col("_id").as("id_a"), col("_sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("_id").as("id_b"), col("_sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          signatureJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .where(col("est_jaccard") >= threshold),
+      sigs)
   }
 
   /** 64-bit SimHash of a whitespace-tokenized text column — fully
@@ -196,12 +213,14 @@ object Similarity {
     val candidates = l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    candidates
-      .join(sh.select(col("_id").as("id_a"), col("_shg").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("_id").as("id_b"), col("_shg").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
-        size(array_union(col("sh_a"), col("sh_b"))).as("n_union"))
-      .where(col("n_inter") * den >= col("n_union") * num)
+    materializeAndRelease(
+      candidates
+        .join(sh.select(col("_id").as("id_a"), col("_shg").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("_id").as("id_b"), col("_shg").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+          size(array_union(col("sh_a"), col("sh_b"))).as("n_union"))
+        .where(col("n_inter") * den >= col("n_union") * num),
+      sh)
   }
 }

@@ -198,7 +198,9 @@ object Vectors {
         cosine(col("cv"), col("qv")).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    Similarity.materializeAndRelease(
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k),
+      cv)
   }
 
   /** Symmetric near-duplicate search over ONE corpus — the self-join
@@ -234,13 +236,15 @@ object Vectors {
     val candidates = l.join(r, Seq("tbl", "bkt"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    candidates
-      .join(v.select(col("_id").as("id_a"), col("_v").as("va"), col("_n").as("na")),
-        Seq("id_a"))
-      .join(v.select(col("_id").as("id_b"), col("_v").as("vb"), col("_n").as("nb")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
-      .where(col("cos_sim") >= minCosine)
+    Similarity.materializeAndRelease(
+      candidates
+        .join(v.select(col("_id").as("id_a"), col("_v").as("va"), col("_n").as("na")),
+          Seq("id_a"))
+        .join(v.select(col("_id").as("id_b"), col("_v").as("vb"), col("_n").as("nb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+        .where(col("cos_sim") >= minCosine),
+      v)
   }
 }
