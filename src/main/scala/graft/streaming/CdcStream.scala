@@ -248,9 +248,13 @@ object CdcStream {
                 val delSince = sinceCompact
                   .map(_.metrics.getOrElse("deletes", 0L)).sum
                 val totalRows = log.last.rowCounts.values.sum
-                if (delSince >= autoCompactMinDeletes && delSince * 5 >= totalRows)
+                if (delSince >= autoCompactMinDeletes && delSince * 5 >= totalRows) {
                   table.compact(session,
                     tombstoneHorizon = stats.txidWatermark - tombstoneLag)
+                  // the compaction stranded every pre-compaction dir;
+                  // reclaim all but the last two snapshots' storage
+                  table.vacuum(retainCommits = 2)
+                }
               }
               onBatch(ms, stats)
             } finally enriched.unpersist()

@@ -337,6 +337,44 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
         Map("compaction" -> 1L, "tombstoneHorizon" -> tombstoneHorizon))
     }
 
+  /** Garbage-collect data dirs no snapshot in the retention window
+    * references (storage would otherwise grow without bound: every
+    * rewrite strands its predecessors' files). Keeps every dir
+    * referenced by the newest `retainCommits` commits — readers pinned
+    * to those snapshots stay consistent; older snapshots become
+    * unreadable, which is the Iceberg/Delta `expire_snapshots`/VACUUM
+    * trade. Commit JSONs are never deleted (they are tiny and the
+    * reader-side type-promotion path needs historical schemas). Dirs
+    * newer than the latest commit (an in-flight writer's output) are
+    * left alone. Returns the deleted dir names. */
+  def vacuum(retainCommits: Int = 2): Seq[String] = {
+    val log = cachedCommits()
+    if (log.isEmpty) return Nil
+    val latest = log.last.version
+    val referenced: Set[String] = log.takeRight(math.max(1, retainCommits))
+      .flatMap(c => (c.buckets.values ++ c.deltas.values.flatten)
+        .map(rel => rel.split("/")(1))).toSet
+    val dataDir = root.resolve("data")
+    if (!Files.isDirectory(dataDir)) return Nil
+    val s = Files.list(dataDir)
+    val candidates = try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("c")).toList
+    finally s.close()
+    val deletable = candidates.filter { name =>
+      !referenced.contains(name) &&
+        name.stripPrefix("c").stripSuffix("d").toLongOption.exists(_ <= latest)
+    }
+    deletable.foreach { name =>
+      val p = dataDir.resolve(name)
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    deletable.sorted
+  }
+
   /** True if a streaming micro-batch with this id was already committed
     * BY THE SAME STREAM (crash-replay idempotence check). Scoped by
     * (queryId, batchId) like Delta's txnAppId/txnVersion: Spark batch

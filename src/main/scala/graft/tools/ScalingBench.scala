@@ -98,7 +98,8 @@ object ScalingBench {
     * for. `forceOuter` pins the old full-outer plan so the two paths'
     * wall/CPU cost per event can be A/B'd on identical input. */
   def runSteady(cpus: Int, baseEvents: Long, batchEvents: Long,
-      nBatches: Int, forceOuter: Boolean, workDir: String): RunResult = {
+      nBatches: Int, forceOuter: Boolean, workDir: String,
+      hotBuckets: Int = 0): RunResult = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-steady-$cpus")
@@ -140,19 +141,32 @@ object ScalingBench {
         pruneBuckets = false)
       val t0 = System.nanoTime()
       val cpuStart = cpuListener.cpuNanos.get()
+      var appliedTotal = 0L
       (0 until nBatches).foreach { i =>
         val lo = baseEvents + i * batchEvents + 1
         val hi = baseEvents + (i + 1) * batchEvents
         val tb = System.nanoTime()
-        val st = CdcApply.applyBatch(spark, table,
-          events.where(org.apache.spark.sql.functions.col("_txid").between(lo, hi)),
+        // hotBuckets > 0 concentrates the churn on that many of the 64
+        // buckets (hot-conversation skew shape): per-bucket MoR folds
+        // must then rewrite ONLY the hot buckets, so per-fold-cycle cost
+        // tracks the hot set, not the table
+        var batch = events.where(
+          org.apache.spark.sql.functions.col("_txid").between(lo, hi))
+        if (hotBuckets > 0) batch = batch.where(table.bucketCol(
+          org.apache.spark.sql.functions.col("conv_id")) < hotBuckets)
+        val st = CdcApply.applyBatch(spark, table, batch,
           broadcastThreshold = if (forceOuter) 0L else CdcApply.BroadcastMergeMaxEvents)
+        appliedTotal += st.applied
+        val folded = table.currentCommit()
+          .flatMap(_.metrics.get("foldedBuckets")).getOrElse(0L)
         System.err.println(f"[steady] batch$i applied=${st.applied} " +
-          f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+          f"folded=$folded ${(System.nanoTime() - tb) / 1e9}%.2f s")
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val cpu0 = cpuListener.cpuNanos.get() - cpuStart
-      RunResult(cpus, batchEvents * nBatches, secs, cpu0 / 1e9)
+      RunResult(cpus,
+        if (hotBuckets > 0) appliedTotal else batchEvents * nBatches,
+        secs, cpu0 / 1e9)
     } finally spark.stop()
   }
 
@@ -193,6 +207,21 @@ object ScalingBench {
       println(f"""{"bench":"cdc_steady","mode":"$mode","cpus":$cpus,""" +
         f""""base_events":$base,"batch_events":$per,"n_batches":$nb,""" +
         f""""secs":${r.secs}%.1f,"events_per_sec":${r.throughput}%.0f,""" +
+        f""""cpu_secs":${r.cpuSecs}%.1f,"cpu_us_per_event":${r.cpuSecs * 1e6 / r.events}%.1f}""")
+    // hot-bucket steady state: churn concentrated on <hot> of 64 buckets
+    // — evidences per-bucket MoR folds (fold cost ∝ hot set, ≥3 cycles)
+    case Some("steadyhot") =>
+      val cpus = args(1).toInt
+      val base = if (args.length > 2) args(2).toLong else 8000000L
+      val per = if (args.length > 3) args(3).toLong else 100000L
+      val nb = if (args.length > 4) args(4).toInt else 27
+      val hot = if (args.length > 5) args(5).toInt else 8
+      val r = runSteady(cpus, base, per, nb, forceOuter = false,
+        s"/root/repo/target/steadyhot-$cpus-${System.nanoTime()}", hotBuckets = hot)
+      println(f"""{"bench":"cdc_steady_hot","cpus":$cpus,"base_events":$base,""" +
+        f""""batch_events_prefilter":$per,"n_batches":$nb,"hot_buckets":$hot,""" +
+        f""""applied":${r.events},"secs":${r.secs}%.1f,""" +
+        f""""applied_per_sec":${r.throughput}%.0f,""" +
         f""""cpu_secs":${r.cpuSecs}%.1f,"cpu_us_per_event":${r.cpuSecs * 1e6 / r.events}%.1f}""")
     case Some("single") =>
       val cpus = args(1).toInt

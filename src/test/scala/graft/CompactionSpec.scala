@@ -8,6 +8,41 @@ import graft.table.LakeTable
 
 class CompactionSpec extends SparkSpec {
 
+  test("vacuum deletes unreferenced snapshot dirs, keeps the retention window readable") {
+    import org.apache.spark.sql.functions._
+    val events = Corpus.changeEvents(spark, 4000, nConvs = 40, maxTurns = 8)
+    val table = new LakeTable(tmpDir("vacuum"), numBuckets = 8)
+    // several full rewrites strand predecessor dirs
+    (0 until 4).foreach { i =>
+      CdcApply.applyBatch(spark, table,
+        events.where(col("_txid") > i * 1000L && col("_txid") <= (i + 1) * 1000L),
+        pruneBuckets = false)
+    }
+    val dataDir = java.nio.file.Paths.get(table.location, "data")
+    def dirs = {
+      val s = java.nio.file.Files.list(dataDir)
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSet }
+      finally s.close()
+    }
+    val before = dirs
+    val expected = finalPayloadRows(table)
+    val deleted = table.vacuum(retainCommits = 1)
+    assert(deleted.nonEmpty, s"nothing vacuumed from $before")
+    assert(dirs == before -- deleted)
+    // the latest snapshot still reads bit-identically
+    assert(finalPayloadRows(table) == expected)
+    // every surviving dir is referenced by the latest commit
+    val c = table.currentCommit().get
+    val referenced = (c.buckets.values ++ c.deltas.values.flatten)
+      .map(_.split("/")(1)).toSet
+    assert(dirs.forall(referenced.contains), s"unreferenced dirs survive: ${dirs -- referenced}")
+  }
+
+  private def finalPayloadRows(t: LakeTable): Set[String] =
+    t.read(spark).select("conv_id", "turn_idx", "text")
+      .collect().map(_.mkString("|")).toSet
+
   test("compaction drops aged tombstones, preserves live rows and semantics") {
     val events = Corpus.changeEvents(spark, 2000, nConvs = 40, maxTurns = 8)
     val table = new LakeTable(tmpDir("compact"), numBuckets = 8)

@@ -133,6 +133,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("version-gate read scans only (merge keys, _txid) — pruning survives the base∪delta union") {
+    val table = new LakeTable(tmpDir("plangate"), numBuckets = 8)
+    val ev = Corpus.changeEvents(spark, 3000, nConvs = 50, maxTurns = 8)
+    CdcApply.applyBatch(spark, table, ev.where(col("_txid") <= 1500))
+    // second apply stacks a delta, so the gate read unions base + delta
+    CdcApply.applyBatch(spark, table,
+      ev.where(col("_txid") > 1500 && col("_txid") <= 1600))
+    assert(table.currentCommit().get.deltaDepth >= 1)
+    val gate = table.readBuckets(spark, 0 until 8, resolve = false)
+      .select(col("conv_id"), col("turn_idx"), col("_txid"))
+    gate.collect()
+    val scans = gate.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty, "no FileScan in gate plan")
+    scans.foreach { l =>
+      assert(!l.contains("text") && !l.contains("role") && !l.contains("_etag"),
+        s"gate scan reads payload columns: ${l.trim.take(200)}")
+    }
+  }
+
   test("text-analysis queries contain no UDFs (pure codegen expressions)") {
     Seq("q22_text_stats", "q23_quality_score", "q25_fingerprint").foreach { n =>
       val p = planOf(n)
