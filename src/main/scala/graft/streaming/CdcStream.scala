@@ -119,6 +119,7 @@ object CdcStream {
       ignoreFields: Set[String] = Set.empty,
       autoCompactMinDeletes: Long = 5000L,
       tombstoneLag: Long = 1000000L,
+      logCheckpointEvery: Int = 512,
       onBatch: (Long, graft.cdc.ApplyStats) => Unit = (_, _) => ()): StreamingQuery = {
     // datacenter = the first directory level under the changelog root
     // (layout <root>/<dc>/.../segment-files); anything shallower reads
@@ -255,6 +256,11 @@ object CdcStream {
                   // reclaim all but the last two snapshots' storage
                   table.vacuum(retainCommits = 2)
                 }
+                // a 10^10-event tail writes ~10^5 commits: roll the log
+                // up periodically so its listing stays O(window), not
+                // O(stream lifetime)
+                if (logCheckpointEvery > 0 && table.commitLogSize > logCheckpointEvery)
+                  table.checkpointLog()
               }
               onBatch(ms, stats)
             } finally enriched.unpersist()

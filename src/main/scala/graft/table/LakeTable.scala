@@ -64,6 +64,28 @@ case class Commit(
     deltas.get(bucket.toString).map(_.size).getOrElse(0)
 }
 
+/** Rollup of the commit log up to (and including) one version: the
+  * state a reader needs without the per-commit history — written by
+  * [[LakeTable.checkpointLog]], after which the subsumed commit JSONs
+  * are deleted. At 10^10 events a tail produces ~10^5 micro-batch
+  * commits; without truncation the log directory's listing alone
+  * becomes the per-batch bottleneck (O(commits) per batch, O(commits²)
+  * per stream).
+  *
+  * @param commit            table state as of the checkpoint
+  * @param schemasByVersion  "cVVVVV" -> writer schema JSON for every
+  *                          data dir the checkpointed commit still
+  *                          references (reader-side type promotion
+  *                          needs the WRITER's schema per dir)
+  * @param maxBatchIdByQuery newest batchId committed per stream
+  *                          identity — batch ids are monotonic per
+  *                          queryId, so idempotence after truncation
+  *                          is `batchId <= max` */
+private[table] case class LogCheckpoint(
+    commit: Commit,
+    schemasByVersion: Map[String, String],
+    maxBatchIdByQuery: Map[String, Long])
+
 /** An Iceberg-*semantics* table over plain Parquet + a JSON commit log.
   *
   * No Iceberg/Delta jars exist in this sandbox, so the transactional
@@ -93,36 +115,107 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
   def bucketCol(conv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(conv), lit(numBuckets.toLong)).cast("int")
 
-  /** Cached parse of the commit log. The cache is keyed on the set of
-    * commit FILENAMES (a cheap directory listing), so external writers
-    * are still picked up, but the JSON bodies are deserialized at most
-    * once per new commit — without this, a long stream's per-batch
-    * idempotence check (hasBatch) re-parses every commit every batch,
-    * O(commits²) over the stream's lifetime. */
-  @volatile private var commitCache: (Seq[String], Seq[Commit]) = (Seq.empty, Seq.empty)
+  /** Cached parse of the commit log (checkpoint rollup + commits after
+    * it). The cache is keyed on the set of commit FILENAMES (a cheap
+    * directory listing), so external writers are still picked up, but
+    * the JSON bodies are deserialized at most once per new commit —
+    * without this, a long stream's per-batch idempotence check
+    * (hasBatch) re-parses every commit every batch, O(commits²) over
+    * the stream's lifetime. */
+  @volatile private var commitCache:
+    (Seq[String], (Option[(LogCheckpoint, Long)], Seq[Commit])) =
+    (Seq.empty, (None, Seq.empty))
 
-  private def listCommitFiles(): Seq[Path] = {
+  private def listLogFiles(): Seq[Path] = {
     if (!Files.isDirectory(commitsDir)) return Seq.empty
     val s = Files.list(commitsDir)
     try s.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        // ".tmp-*" are in-flight atomic-publish temps — never parse them
+        n.endsWith(".json") && !n.startsWith(".")
+      }
       .toSeq.sortBy(_.getFileName.toString)
     finally s.close()
   }
 
-  private def cachedCommits(): Seq[Commit] = {
-    val files = listCommitFiles()
+  /** (newest checkpoint with its version, commits strictly after it). */
+  private def cachedState(): (Option[(LogCheckpoint, Long)], Seq[Commit]) = {
+    val files = listLogFiles()
     val names = files.map(_.getFileName.toString)
     val cached = commitCache
     if (cached._1 == names) cached._2
     else {
-      val parsed = files.map(p => Serialization.read[Commit](Files.readString(p)))
-      commitCache = (names, parsed)
-      parsed
+      val (ckptFiles, commitFiles) =
+        files.partition(_.getFileName.toString.endsWith(".ckpt.json"))
+      val ckpt = ckptFiles.lastOption.map { p =>
+        val parsed = Serialization.read[LogCheckpoint](Files.readString(p))
+        (parsed, parsed.commit.version)
+      }
+      val horizon = ckpt.map(_._2).getOrElse(0L)
+      val parsed = commitFiles
+        .map(p => Serialization.read[Commit](Files.readString(p)))
+        .filter(_.version > horizon)
+      val state = (ckpt, parsed)
+      commitCache = (names, state)
+      state
     }
   }
 
+  private def cachedCommits(): Seq[Commit] = {
+    val (ckpt, later) = cachedState()
+    ckpt.map(_._1.commit).toSeq ++ later
+  }
+
   def currentCommit(): Option[Commit] = cachedCommits().lastOption
+
+  /** Number of files currently in the commit log (checkpoint trigger
+    * gauge for long-lived streams). */
+  def commitLogSize: Int = listLogFiles().size
+
+  /** Roll the commit log up into one checkpoint file and delete the
+    * subsumed per-commit JSONs. History BEFORE the checkpoint is no
+    * longer readable (the same trade [[vacuum]] makes for data dirs);
+    * the current snapshot, per-dir writer schemas, and per-stream batch
+    * idempotence all survive. Keeps the log directory O(commits since
+    * last checkpoint) instead of O(stream lifetime). */
+  def checkpointLog(): Unit = {
+    val (prevCkpt, later) = cachedState()
+    val current = currentCommit().getOrElse(return)
+    val live: Set[String] = (current.buckets.values ++ current.deltas.values.flatten)
+      .map(rel => rel.split("/")(1).stripSuffix("d")).toSet
+    val schemas = schemasByVersion().filter { case (v, _) => live.contains(v) }
+    val maxBatch: Map[String, Long] = {
+      val base = prevCkpt.map(_._1.maxBatchIdByQuery).getOrElse(Map.empty)
+      later.filter(_.batchId >= 0).foldLeft(base) { (m, c) =>
+        m.updated(c.queryId, math.max(c.batchId, m.getOrElse(c.queryId, -1L)))
+      }
+    }
+    val ckpt = LogCheckpoint(current, schemas, maxBatch)
+    val tmp = Files.createTempFile(commitsDir, ".tmp-", ".ckpt")
+    Files.writeString(tmp, Serialization.write(ckpt))
+    Files.move(tmp, commitsDir.resolve(f"${current.version}%012d.ckpt.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // delete subsumed files: all plain commits ≤ version, older ckpts
+    listLogFiles().foreach { p =>
+      val name = p.getFileName.toString
+      val isCkpt = name.endsWith(".ckpt.json")
+      val ver = name.stripSuffix(if (isCkpt) ".ckpt.json" else ".json").toLongOption
+      val subsumed = ver.exists(v =>
+        (isCkpt && v < current.version) || (!isCkpt && v <= current.version))
+      if (subsumed) Files.deleteIfExists(p)
+    }
+  }
+
+  /** Writer schema per data-dir version key ("cVVVVV"): reader-side
+    * type promotion casts each file group up from the schema it was
+    * WRITTEN under. Sourced from the checkpoint rollup plus every
+    * commit after it. */
+  private def schemasByVersion(): Map[String, String] = {
+    val (ckpt, later) = cachedState()
+    ckpt.map(_._1.schemasByVersion).getOrElse(Map.empty) ++
+      later.map(cm => f"c${cm.version}%012d" -> cm.schemaJson)
+  }
 
   def txidWatermark: Long = currentCommit().map(_.txidWatermark).getOrElse(0L)
 
@@ -156,8 +249,9 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       case Some(c) => readCommit(spark, c, buckets, resolve)
     }
 
-  /** All commits in version order (the commit log is tiny: one small
-    * JSON per commit). */
+  /** All RETAINED commits in version order: one small JSON per commit,
+    * plus the rollup commit if [[checkpointLog]] has truncated older
+    * history. */
   def commitLog(): Seq[Commit] = cachedCommits()
 
   private def readCommit(spark: SparkSession, c: Commit, buckets: Seq[Int],
@@ -174,7 +268,9 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     // scan time — so read every file group under its writer's schema and
     // cast up to the latest (reader-side promotion, SURVEY.md §7 hard
     // part (c)). Single-schema groups take the single-scan fast path.
-    val schemas = commitLog().map(cm => f"c${cm.version}%012d" -> cm.schema).toMap
+    val schemas: Map[String, StructType] = schemasByVersion().map {
+      case (v, j) => v -> DataType.fromJson(j).asInstanceOf[StructType]
+    }
     val latest = c.schema
     def castUp(df: DataFrame): DataFrame =
       df.select(latest.fields.map { f =>
@@ -383,7 +479,14 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     * an existing table. */
   def hasBatch(batchId: Long, queryId: String = ""): Boolean = {
     if (batchId < 0) return false
-    cachedCommits().exists(c => c.batchId == batchId && c.queryId == queryId)
+    val (ckpt, later) = cachedState()
+    later.exists(c => c.batchId == batchId && c.queryId == queryId) ||
+      ckpt.exists { case (lc, _) =>
+        lc.commit.batchId == batchId && lc.commit.queryId == queryId ||
+          // pre-checkpoint history is truncated; batch ids are monotonic
+          // per stream, so anything ≤ the stream's recorded max was seen
+          lc.maxBatchIdByQuery.get(queryId).exists(batchId <= _)
+      }
   }
 }
 
@@ -399,10 +502,14 @@ object LakeTable {
     val bucketDirs = try s.iterator().asScala
       .filter(_.getFileName.toString.startsWith("_bucket=")).toList
     finally s.close()
+    if (bucketDirs.isEmpty) return Map.empty
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = Executors.newFixedThreadPool(16)
+    // pool bounded by the work: this is a driver-side metadata read and
+    // must not become a driver bottleneck pattern if numBuckets grows
+    // with cluster size — O(KB) per footer, ≤16 threads, no Spark job
+    val pool = Executors.newFixedThreadPool(math.min(16, bucketDirs.length))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = bucketDirs.map { dir =>

@@ -43,6 +43,50 @@ class CompactionSpec extends SparkSpec {
     t.read(spark).select("conv_id", "turn_idx", "text")
       .collect().map(_.mkString("|")).toSet
 
+  test("commit-log checkpoint truncates history, keeps idempotence and promoted schemas") {
+    import spark.implicits._
+    val events = Corpus.changeEvents(spark, 3000, nConvs = 40, maxTurns = 8)
+    val table = new LakeTable(tmpDir("logckpt"), numBuckets = 8)
+    (0 until 6).foreach { i =>
+      CdcApply.applyBatch(spark, table,
+        events.where(col("_txid") > i * 500L && col("_txid") <= (i + 1) * 500L),
+        batchId = i, queryId = "s1")
+    }
+    // a payload column that PROMOTES across commits: its early dirs were
+    // written under the narrow schema, so post-checkpoint reads must
+    // still find the writer schemas for reader-side promotion
+    def scored(txid: Long, conv: String, score: Any) = {
+      val base = Seq((txid, "update", s"e$txid", conv, 0))
+        .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx")
+      score match {
+        case i: Int => base.withColumn("score", lit(i))
+        case s: String => base.withColumn("score", lit(s))
+      }
+    }
+    CdcApply.applyBatch(spark, table, scored(9001, "convP", 5), batchId = 6, queryId = "s1")
+    val expected = finalPayloadRows(table)
+    val filesBefore = table.commitLogSize
+    table.checkpointLog()
+    assert(table.commitLogSize == 1, s"log not truncated (was $filesBefore)")
+    // idempotence across the truncation: every pre-checkpoint batch id
+    // of the same stream is still detected; other streams are not
+    (0 to 6).foreach(b => assert(table.hasBatch(b, "s1"), s"batch $b forgotten"))
+    assert(!table.hasBatch(0, "s2"))
+    assert(finalPayloadRows(table) == expected)
+    // promote score int -> string AFTER the checkpoint; the old dir's
+    // writer schema must come from the rollup for the cast-up read
+    CdcApply.applyBatch(spark, table, scored(9002, "convQ", "high"), batchId = 7, queryId = "s1")
+    val scores = table.read(spark).where($"conv_id".isin("convP", "convQ"))
+      .select("conv_id", "score").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(scores("convP") == "5" && scores("convQ") == "high")
+    assert(table.hasBatch(7, "s1") && table.hasBatch(3, "s1"))
+    // new commits append after the rollup; a second checkpoint subsumes them
+    table.checkpointLog()
+    assert(table.commitLogSize == 1)
+    assert(finalPayloadRows(table) == expected + "convQ|0|null")
+  }
+
   test("compaction drops aged tombstones, preserves live rows and semantics") {
     val events = Corpus.changeEvents(spark, 2000, nConvs = 40, maxTurns = 8)
     val table = new LakeTable(tmpDir("compact"), numBuckets = 8)
