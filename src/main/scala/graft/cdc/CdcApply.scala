@@ -273,10 +273,56 @@ object CdcApply {
         val wKeys = winnerRows.select(mergeKeys: _*)
         val matched = rawKeys.join(broadcast(wKeys), Model.MergeKeys.toSeq)
           .groupBy(mergeKeys: _*).agg(max(col("__t_txid")).as("__t_txid"))
-        val effective = winnerRows
+        val effectivePlan = winnerRows
           .join(broadcast(matched), Model.MergeKeys.toSeq, "left")
           .where(col("__t_txid").isNull || col("_txid") > col("__t_txid"))
           .drop("__t_txid")
+
+        if (foldBuckets.isEmpty) {
+          // 4a-i. PURE DELTA commit — the steady-state fast path: the
+          // gate, the effectiveness stats (Observation) and the write
+          // run as ONE job — no persist, no separate stats job; a
+          // micro-batch's fixed cost is the prune pre-scan plus this
+          // single write. Winners land as ONE small bucket-partitioned
+          // parquet dir — O(batch) write regardless of table size (one
+          // coalesced task; sorted so each bucket file's row groups
+          // carry tight conv_id min/max for later pruned reads). Readers
+          // resolve base ∪ that bucket's deltas per key by max _txid.
+          // An all-stale batch leaves an empty dir that is deleted again
+          // (no commit — idempotent no-op).
+          val obs = new org.apache.spark.sql.Observation(s"delta-$version")
+          effectivePlan
+            .observe(obs,
+              count(lit(1)).as("n"),
+              coalesce(sum(col("_deleted").cast("long")), lit(0L)).as("nDel"),
+              max(col("_txid")).as("maxTx"))
+            .coalesce(1).withColumn("_bucket", bucketOf)
+            .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
+            .write.mode("overwrite").partitionBy("_bucket")
+            .parquet(deltaOutDir.toString)
+          val m = obs.get
+          val n = Option(m("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+          if (n == 0L) {
+            deleteRecursively(deltaOutDir)
+            return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
+              skippedReplay = false, prevWm, 0)
+          }
+          val nDel = m("nDel").asInstanceOf[Long]
+          val maxTx = math.max(prevWm, m("maxTx").asInstanceOf[Long])
+          val adds = LakeTable.footerRowCounts(deltaOutDir).map { case (b, cnt) =>
+            b -> (s"$deltaRel/_bucket=$b", cnt)
+          }
+          table.commitDelta(schema, adds, maxTx, batchId, Map(
+            "events" -> n, "upserts" -> (n - nDel), "deletes" -> nDel,
+            "bucketsTouched" -> touched.length.toLong,
+            "deltaCommit" -> 1L, "deltaRows" -> n)
+            ++ extraMetrics, queryId)
+          return ApplyStats(version, n, n - nDel, nDel,
+            skippedReplay = false, maxTx, touched.length)
+        }
+        // fold path: effective is reused (stats, delta split, anti-join
+        // keys, fold union) — persist it once
+        val effective = effectivePlan
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val eff = effective.agg(count(lit(1)).as("n"),
@@ -286,18 +332,11 @@ object CdcApply {
           if (n == 0L)
             return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
               skippedReplay = false, prevWm, 0)
-          // 4a-i. MERGE-ON-READ delta side: winners for buckets below the
-          // depth cap are written as ONE small bucket-partitioned parquet
-          // dir — O(batch) write regardless of table size (one coalesced
-          // task, no shuffle; sorted so each bucket file's row groups
-          // carry tight conv_id min/max for later pruned reads). Readers
-          // resolve base ∪ that bucket's deltas per key by max _txid.
           val adds: Map[Int, (String, Long)] =
             if (deltaBuckets.isEmpty) Map.empty
             else {
               val effDelta =
-                if (foldBuckets.isEmpty) effective
-                else effective.where(!bucketOf.isin(foldBuckets.map(Integer.valueOf): _*))
+                effective.where(!bucketOf.isin(foldBuckets.map(Integer.valueOf): _*))
               effDelta.coalesce(1).withColumn("_bucket", bucketOf)
                 .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
                 .write.mode("overwrite").partitionBy("_bucket")
@@ -306,18 +345,7 @@ object CdcApply {
                 b -> (s"$deltaRel/_bucket=$b", cnt)
               }
             }
-          val maxTx = math.max(prevWm, eff.getLong(2))
           val nDel = eff.getLong(1)
-          if (foldBuckets.isEmpty) {
-            // pure delta commit — the steady-state fast path
-            table.commitDelta(schema, adds, maxTx, batchId, Map(
-              "events" -> n, "upserts" -> (n - nDel), "deletes" -> nDel,
-              "bucketsTouched" -> touched.length.toLong,
-              "deltaCommit" -> 1L, "deltaRows" -> n)
-              ++ extraMetrics, queryId)
-            return ApplyStats(version, n, n - nDel, nDel,
-              skippedReplay = false, maxTx, touched.length)
-          }
           // 4a-ii. broadcast FOLD: rewrite ONLY the at-cap buckets —
           // their bases + delta stacks + this batch's winners become
           // fresh bases and their stacks clear. The anti-join side never

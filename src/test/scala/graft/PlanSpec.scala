@@ -80,7 +80,7 @@ class PlanSpec extends SparkSpec {
       s"merge touched ${stats.bucketsTouched} of $allBuckets buckets")
   }
 
-  test("broadcast merge: the table rewrite job has ZERO shuffle exchanges") {
+  test("broadcast merge: the TARGET side is never shuffled (batch-side collapse only)") {
     val table = new LakeTable(tmpDir("planbcast"), numBuckets = 16)
     val events = Corpus.changeEvents(spark, 3000, nConvs = 50, maxTurns = 8)
     CdcApply.applyBatch(spark, table, events.where(col("_txid") <= 2000))
@@ -94,11 +94,13 @@ class PlanSpec extends SparkSpec {
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
     }
-    // count only exchanges the job EXECUTES: the tree traversal stops at
-    // InMemoryTableScan leaves, so the cached batch's own groupBy
-    // exchange (materialized in the earlier stats job, merely RENDERED
-    // under InMemoryRelation in plan strings) doesn't count
-    def executedShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    // the steady-state delta write is ONE job: it is allowed to contain
+    // the O(batch) winner-collapse exchanges, but NO exchange may sit
+    // above a scan of the TABLE's files — at 100 TB that is the line
+    // between "read touched buckets at disk bandwidth" and "re-shuffle
+    // the table every batch"
+    def targetShuffles(p: org.apache.spark.sql.execution.SparkPlan,
+        tableLoc: String): Seq[String] = {
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
       import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
       val root = p match {
@@ -106,10 +108,13 @@ class PlanSpec extends SparkSpec {
         case other => other
       }
       root.collect {
-        case _: ShuffleExchangeExec => 1
-        case _: ShuffleQueryStageExec => 1
-        case r: ReusedExchangeExec if r.child.isInstanceOf[ShuffleExchangeExec] => 1
-      }.sum
+        case e: ShuffleExchangeExec if e.treeString.contains(tableLoc) =>
+          e.treeString
+        case s: ShuffleQueryStageExec if s.plan.treeString.contains(tableLoc) =>
+          s.plan.treeString
+        case r: ReusedExchangeExec if r.child.isInstanceOf[ShuffleExchangeExec] &&
+            r.child.treeString.contains(tableLoc) => r.child.treeString
+      }
     }
     spark.listenerManager.register(listener)
     try {
@@ -126,9 +131,14 @@ class PlanSpec extends SparkSpec {
       val wp = writePlans
       assert(wp.nonEmpty, "no write-job plan captured")
       wp.foreach { qe =>
-        val n = executedShuffles(qe.executedPlan)
-        assert(n == 0,
-          s"$n shuffle exchange(s) in broadcast-merge write plan:\n${qe.executedPlan}")
+        // the write job must actually read the table (the gate scan)...
+        assert(qe.executedPlan.toString.contains(table.location) ||
+          wp.size > 1, s"write plan reads no table files:\n${qe.executedPlan}")
+        // ...but never through a shuffle
+        val bad = targetShuffles(qe.executedPlan, table.location)
+        assert(bad.isEmpty,
+          "table scan under a shuffle exchange in the delta write plan:\n" +
+            bad.headOption.getOrElse(""))
       }
     } finally spark.listenerManager.unregister(listener)
   }
