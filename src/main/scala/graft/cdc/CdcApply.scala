@@ -139,14 +139,27 @@ object CdcApply {
     * that every steady-state CDC micro-batch qualifies. */
   val BroadcastMergeMaxEvents = 500000L
 
-  /** Delta dirs a bucket may stack up before the next apply folds THAT
-    * BUCKET into a fresh base (MERGE-ON-READ depth bound, tracked per
-    * bucket). Read amplification and resolve-window width stay
-    * O(MaxDeltaDepth); steady-state apply cost stays O(batch) with an
-    * amortized rewrite of 1/MaxDeltaDepth of the HOT buckets only — a
-    * cold bucket is never rewritten, so fold cost is proportional to
-    * churn, not table size (the property that survives 100 TB). */
+  /** Delta dirs a bucket may stack up before the next apply merges THAT
+    * BUCKET's stack (MERGE-ON-READ depth bound, tracked per bucket).
+    * Read amplification and resolve-window width stay O(MaxDeltaDepth).
+    * A bucket at the cap is CONSOLIDATED — its stack re-resolved into
+    * one delta dir, base untouched — until the stack holds
+    * [[FoldToBaseRatio]] of its base's rows; only then is the base
+    * rewritten (fold). A cold bucket is never touched at all, so
+    * maintenance cost is proportional to churn, not table size (the
+    * property that survives 100 TB). */
   val MaxDeltaDepth = 8
+
+  /** Fold a bucket's deltas into its base only once the stack's
+    * physical rows reach this fraction of the base's. Below it, a
+    * depth-capped stack is consolidated instead (stack → one dir, base
+    * untouched) — the two-level LSM trade: under UNIFORM churn every
+    * bucket hits the depth cap together, and folding at the cap would
+    * rewrite the whole table every MaxDeltaDepth batches (O(table/depth)
+    * amortized per batch). With consolidation the base is rewritten only
+    * after ratio×base rows of churn, cutting steady-state write
+    * amplification ~4× while read amplification stays ≤ depth+1. */
+  val FoldToBaseRatio = 0.5
 
   def applyBatch(
       spark: SparkSession,
@@ -159,7 +172,8 @@ object CdcApply {
       ignoreFields: Set[String] = Set.empty,
       extraMetrics: Map[String, Long] = Map.empty,
       broadcastThreshold: Long = BroadcastMergeMaxEvents,
-      maxDeltaDepth: Int = MaxDeltaDepth): ApplyStats = {
+      maxDeltaDepth: Int = MaxDeltaDepth,
+      foldRatio: Double = FoldToBaseRatio): ApplyStats = {
     val prev = table.currentCommit()
     val prevWm = prev.map(_.txidWatermark).getOrElse(0L)
     if (batchId >= 0 && table.hasBatch(batchId, queryId))
@@ -231,23 +245,39 @@ object CdcApply {
       val outDir = Paths.get(table.location).resolve(rel)
       val deltaOutDir = Paths.get(table.location).resolve(deltaRel)
       val broadcastPath = batchCount >= 0 && batchCount <= broadcastThreshold
-      // Per-bucket fold policy: a touched bucket whose delta stack is at
-      // the depth cap gets REWRITTEN this batch (base ∪ its deltas ∪ its
-      // winners, stack cleared); every other touched bucket takes its
+      // Per-bucket maintenance policy: a touched bucket whose delta
+      // stack is at the depth cap is either FOLDED (base ∪ deltas ∪ its
+      // winners rewritten as a fresh base, stack cleared) when its stack
+      // has grown to FoldToBaseRatio of the base — or, cheaper,
+      // CONSOLIDATED (stack ∪ its winners re-resolved into ONE delta
+      // dir, base untouched). Every other touched bucket takes its
       // winners as one more delta dir. The first commit folds everything
       // (a delta with nothing under it is just a base with extra read
-      // cost). A single commit records both sides atomically.
-      val foldBuckets: Seq[Int] =
-        if (prev.isEmpty || maxDeltaDepth <= 0 || !broadcastPath) touched
-        else touched.filter(b => prev.exists(_.deltaDepthOf(b) >= maxDeltaDepth))
+      // cost); stacks without tracked row counts (pre-upgrade commits)
+      // fold too. A single commit records all three sides atomically.
+      val (foldBuckets: Seq[Int], consBuckets: Seq[Int]) =
+        if (prev.isEmpty || maxDeltaDepth <= 0 || !broadcastPath)
+          (touched, Seq.empty[Int])
+        else {
+          val c = prev.get
+          touched.filter(b => c.deltaDepthOf(b) >= maxDeltaDepth)
+            .partition { b =>
+              (c.deltaRowsOf(b), c.baseRowsOf(b)) match {
+                case (Some(d), Some(base)) if base > 0 =>
+                  d >= (base * foldRatio).toLong
+                case _ => true
+              }
+            }
+        }
       val foldSet = foldBuckets.toSet
-      val deltaBuckets: Seq[Int] = touched.filterNot(foldSet)
+      val consSet = consBuckets.toSet
+      val deltaBuckets: Seq[Int] = touched.filterNot(b => foldSet(b) || consSet(b))
       // resolved view of ONLY the buckets this apply rewrites (lazy —
       // the pure-delta path never executes it)
       lazy val target = align(table.readBuckets(spark, foldBuckets), schema)
 
       val bucketOf = table.bucketCol(col("conv_id"))
-      val (nEff, nDeletes, maxTxRaw, deltaAdds) = if (broadcastPath) {
+      val (nEff, nDeletes, maxTxRaw, deltaAdds, deltaReplaces) = if (broadcastPath) {
         // 4a. BROADCAST MERGE (steady-state CDC): the batch's keys are
         // small, so the TARGET side is never shuffled at all —
         //   (i)  gate: target's (key, _txid) — a column-pruned narrow
@@ -278,7 +308,7 @@ object CdcApply {
           .where(col("__t_txid").isNull || col("_txid") > col("__t_txid"))
           .drop("__t_txid")
 
-        if (foldBuckets.isEmpty) {
+        if (foldBuckets.isEmpty && consBuckets.isEmpty) {
           // 4a-i. PURE DELTA commit — the steady-state fast path: the
           // gate, the effectiveness stats (Observation) and the write
           // run as ONE job — no persist, no separate stats job; a
@@ -320,8 +350,8 @@ object CdcApply {
           return ApplyStats(version, n, n - nDel, nDel,
             skippedReplay = false, maxTx, touched.length)
         }
-        // fold path: effective is reused (stats, delta split, anti-join
-        // keys, fold union) — persist it once
+        // fold/consolidate path: effective is reused (stats, delta
+        // split, anti-join keys, fold union) — persist it once
         val effective = effectivePlan
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -332,41 +362,77 @@ object CdcApply {
           if (n == 0L)
             return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
               skippedReplay = false, prevWm, 0)
-          val adds: Map[Int, (String, Long)] =
-            if (deltaBuckets.isEmpty) Map.empty
+          // One bucket-partitioned delta dir serves two roles, disjoint
+          // by bucket: plain buckets APPEND their winners to their
+          // stacks; at-cap-but-small stacks are CONSOLIDATED — stack ∪
+          // winners re-resolved per key (tombstones kept; only a fold
+          // may drop them) into that same dir, which then REPLACES the
+          // stack. Consolidation reads O(stack), never the base.
+          val (adds, replaces) =
+            if (deltaBuckets.isEmpty && consBuckets.isEmpty)
+              (Map.empty[Int, (String, Long)], Map.empty[Int, (String, Long)])
             else {
-              val effDelta =
-                effective.where(!bucketOf.isin(foldBuckets.map(Integer.valueOf): _*))
-              effDelta.coalesce(1).withColumn("_bucket", bucketOf)
+              val plainPart =
+                if (deltaBuckets.isEmpty) None
+                else Some(effective
+                  .where(bucketOf.isin(deltaBuckets.map(Integer.valueOf): _*))
+                  .coalesce(1))
+              val consPart =
+                if (consBuckets.isEmpty) None
+                else {
+                  val stack = align(table.readDeltaStacks(spark, consBuckets), schema)
+                  val consEff = effective
+                    .where(bucketOf.isin(consBuckets.map(Integer.valueOf): _*))
+                  val allCols = schema.fieldNames.toSeq
+                  val resolved = stack.unionByName(consEff)
+                    .groupBy(mergeKeys: _*)
+                    .agg(max_by(struct(allCols.map(col): _*),
+                      struct(col("_txid"), coalesce(col("_etag"), lit("")))).as("__m"))
+                    .select(col("__m.*"))
+                  // one partition (and so one file) per consolidated
+                  // bucket — the dir lives until the bucket's fold
+                  Some(resolved.repartition(bucketOf))
+                }
+              val deltaDf = (plainPart, consPart) match {
+                case (Some(p), Some(c)) => p.unionByName(c)
+                case (Some(p), None) => p
+                case (None, c) => c.get
+              }
+              deltaDf.withColumn("_bucket", bucketOf)
                 .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
                 .write.mode("overwrite").partitionBy("_bucket")
                 .parquet(deltaOutDir.toString)
-              LakeTable.footerRowCounts(deltaOutDir).map { case (b, cnt) =>
+              val counts = LakeTable.footerRowCounts(deltaOutDir).map { case (b, cnt) =>
                 b -> (s"$deltaRel/_bucket=$b", cnt)
               }
+              (counts.view.filterKeys(b => !consSet(b)).toMap,
+                counts.view.filterKeys(consSet).toMap)
             }
           val nDel = eff.getLong(1)
-          // 4a-ii. broadcast FOLD: rewrite ONLY the at-cap buckets —
-          // their bases + delta stacks + this batch's winners become
-          // fresh bases and their stacks clear. The anti-join side never
-          // shuffles; the one exchange is the salted output repartition
-          // that gives each bucket clean, skew-spread files. Fold cost is
-          // proportional to the folded (hot) buckets, never the table.
-          val effKeys = effective.select(mergeKeys: _*)
-          val effFold =
-            if (deltaBuckets.isEmpty) effective
-            else effective.where(bucketOf.isin(foldBuckets.map(Integer.valueOf): _*))
-          val merged = target
-            .join(broadcast(effKeys), Model.MergeKeys.toSeq, "left_anti")
-            .unionByName(effFold.coalesce(1))
-            .withColumn("_bucket", bucketOf)
-          val shufflePartitions = spark.sessionState.conf.numShufflePartitions
-          merged.repartition(shufflePartitions, col("_bucket"),
-              pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets.toLong)))
-            .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
-            .write.mode("overwrite").partitionBy("_bucket")
-            .parquet(outDir.toString)
-          (n, nDel, eff.getLong(2), adds)
+          // 4a-ii. broadcast FOLD: rewrite ONLY the buckets whose stacks
+          // earned it — their bases + delta stacks + this batch's
+          // winners become fresh bases and their stacks clear. The
+          // anti-join side never shuffles; the one exchange is the
+          // salted output repartition that gives each bucket clean,
+          // skew-spread files. Fold cost is proportional to the folded
+          // (hot, churn-heavy) buckets, never the table.
+          if (foldBuckets.nonEmpty) {
+            val effKeys = effective.select(mergeKeys: _*)
+            val effFold =
+              if (deltaBuckets.isEmpty && consBuckets.isEmpty) effective
+              else effective.where(bucketOf.isin(foldBuckets.map(Integer.valueOf): _*))
+            val merged = target
+              .join(broadcast(effKeys), Model.MergeKeys.toSeq, "left_anti")
+              .unionByName(effFold.coalesce(1))
+              .withColumn("_bucket", bucketOf)
+            val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+            merged.repartition(shufflePartitions, col("_bucket"),
+                pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets.toLong)))
+              .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
+              .write.mode("overwrite").partitionBy("_bucket")
+              .parquet(outDir.toString)
+          }
+          (n, nDel, eff.getLong(2), adds, replaces)
         } finally effective.unpersist()
       } else {
         // 4b. FULL-OUTER MERGE (bulk loads/replays, batch ~ table size):
@@ -412,7 +478,8 @@ object CdcApply {
           return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
             skippedReplay = false, prevWm, 0)
         }
-        (n, nDel, metrics0("maxTx").asInstanceOf[Long], Map.empty[Int, (String, Long)])
+        (n, nDel, metrics0("maxTx").asInstanceOf[Long],
+          Map.empty[Int, (String, Long)], Map.empty[Int, (String, Long)])
       }
       val maxTx = math.max(prevWm, maxTxRaw)
 
@@ -428,9 +495,11 @@ object CdcApply {
         "events" -> nEff, "upserts" -> (nEff - nDeletes), "deletes" -> nDeletes,
         "bucketsTouched" -> touched.length.toLong,
         "foldedBuckets" -> foldBuckets.length.toLong,
+        "consolidatedBuckets" -> consBuckets.length.toLong,
+        "consolidatedRows" -> deltaReplaces.values.map(_._2).sum,
         "deltaRows" -> deltaAdds.values.map(_._2).sum,
         "broadcastMerge" -> (if (broadcastPath) 1L else 0L)) ++ extraMetrics,
-        queryId, deltaAdds = deltaAdds)
+        queryId, deltaAdds = deltaAdds, deltaReplaces = deltaReplaces)
       ApplyStats(version, nEff, nEff - nDeletes, nDeletes,
         skippedReplay = false, maxTx, touched.length)
   }

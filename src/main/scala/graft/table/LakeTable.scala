@@ -41,6 +41,12 @@ import org.json4s.jackson.Serialization
   *                       maintenance. Readers resolve base ∪ deltas per key
   *                       by max _txid; a fold / compaction clears the
   *                       folded buckets' stacks
+  * @param deltaRowCounts bucket id -> physical row count of each dir in
+  *                       that bucket's delta stack (parallel to `deltas`;
+  *                       empty for pre-upgrade commits). Lets the apply
+  *                       decide CONSOLIDATE (merge the stack into one
+  *                       delta, base untouched) vs FOLD (rewrite the
+  *                       base) from commit metadata alone
   */
 case class Commit(
     version: Long,
@@ -51,7 +57,8 @@ case class Commit(
     rowCounts: Map[String, Long],
     metrics: Map[String, Long],
     queryId: String = "",
-    deltas: Map[String, Seq[String]] = Map.empty) {
+    deltas: Map[String, Seq[String]] = Map.empty,
+    deltaRowCounts: Map[String, Seq[Long]] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   /** All delta dirs currently stacked on the table. */
@@ -62,6 +69,21 @@ case class Commit(
 
   def deltaDepthOf(bucket: Int): Int =
     deltas.get(bucket.toString).map(_.size).getOrElse(0)
+
+  /** Physical rows in the bucket's delta stack, if counts are tracked
+    * for every dir in it (None for stacks predating count tracking —
+    * callers must fall back to a full fold). */
+  def deltaRowsOf(bucket: Int): Option[Long] = {
+    val stack = deltas.getOrElse(bucket.toString, Nil)
+    val counts = deltaRowCounts.getOrElse(bucket.toString, Nil)
+    if (counts.size == stack.size) Some(counts.sum) else None
+  }
+
+  /** Physical rows in the bucket's BASE files (rowCounts minus the
+    * tracked delta rows). */
+  def baseRowsOf(bucket: Int): Option[Long] =
+    rowCounts.get(bucket.toString).flatMap(total =>
+      deltaRowsOf(bucket).map(d => math.max(0L, total - d)))
 }
 
 /** Rollup of the commit log up to (and including) one version: the
@@ -249,14 +271,25 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       case Some(c) => readCommit(spark, c, buckets, resolve)
     }
 
+  /** The physical rows of ONLY the given buckets' delta stacks (no base
+    * files, no per-key resolution) — the input to a two-level stack
+    * consolidation, which re-resolves and rewrites them as one dir. */
+  def readDeltaStacks(spark: SparkSession, buckets: Seq[Int]): DataFrame =
+    currentCommit() match {
+      case None => spark.emptyDataFrame
+      case Some(c) => readCommit(spark, c, buckets, resolve = false,
+        includeBase = false)
+    }
+
   /** All RETAINED commits in version order: one small JSON per commit,
     * plus the rollup commit if [[checkpointLog]] has truncated older
     * history. */
   def commitLog(): Seq[Commit] = cachedCommits()
 
   private def readCommit(spark: SparkSession, c: Commit, buckets: Seq[Int],
-      resolve: Boolean = true): DataFrame = {
-    val base = buckets.flatMap(b => c.buckets.get(b.toString))
+      resolve: Boolean = true, includeBase: Boolean = true): DataFrame = {
+    val base =
+      if (includeBase) buckets.flatMap(b => c.buckets.get(b.toString)) else Nil
     // delta dirs are bucket-partitioned, so pruning is PATH selection —
     // no per-row filter, and buckets without deltas skip resolve cost
     val deltaRels = buckets.flatMap(b => c.deltas.getOrElse(b.toString, Nil))
@@ -334,9 +367,12 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     * bucket's delta stack is cleared — the rewrite read base ∪ deltas
     * resolved, so its new base subsumes them. All other buckets (bases
     * AND delta stacks) carry forward. `deltaAdds` appends one
-    * (deltaDir, rowCount) per bucket to the delta stacks — a single
-    * commit may fold some buckets and delta others (the steady-state
-    * mixed apply), atomically. */
+    * (deltaDir, rowCount) per bucket to the delta stacks; `deltaReplaces`
+    * REPLACES a bucket's whole stack with one consolidated dir (the
+    * two-level merge: the stack was resolved into a single delta, base
+    * untouched). A single commit may fold some buckets, consolidate
+    * others, and delta the rest (the steady-state mixed apply),
+    * atomically. */
   def commit(
       schema: StructType,
       rewritten: Map[Int, Option[String]],
@@ -345,27 +381,43 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       batchId: Long,
       metrics: Map[String, Long],
       queryId: String = "",
-      deltaAdds: Map[Int, (String, Long)] = Map.empty): Commit = {
+      deltaAdds: Map[Int, (String, Long)] = Map.empty,
+      deltaReplaces: Map[Int, (String, Long)] = Map.empty): Commit = {
     val prev = currentCommit()
     val carried = prev.map(_.buckets).getOrElse(Map.empty)
     val carriedCounts = prev.map(_.rowCounts).getOrElse(Map.empty)
     val carriedDeltas = prev.map(_.deltas).getOrElse(Map.empty)
+    val carriedDeltaCounts = prev.map(_.deltaRowCounts).getOrElse(Map.empty)
     val dropped = rewritten.collect { case (k, None) => k.toString }.toSet
+    val clearedKeys = rewritten.keys.map(_.toString).toSet
     val newDeltas = deltaAdds.foldLeft(
-      carriedDeltas -- rewritten.keys.map(_.toString)) {
+      (carriedDeltas -- clearedKeys) ++
+        deltaReplaces.map { case (b, (dir, _)) => b.toString -> Seq(dir) }) {
       case (m, (b, (dir, _))) => m.updated(b.toString, m.getOrElse(b.toString, Nil) :+ dir)
+    }
+    val newDeltaCounts = deltaAdds.foldLeft(
+      (carriedDeltaCounts -- clearedKeys) ++
+        deltaReplaces.map { case (b, (_, n)) => b.toString -> Seq(n) }) {
+      case (m, (b, (_, n))) => m.updated(b.toString, m.getOrElse(b.toString, Nil) :+ n)
     }
     val rewrittenCounts = (carriedCounts -- dropped) ++
       newRowCounts.map { case (k, v) => k.toString -> v }
+    // consolidation collapses duplicate keys: the bucket's physical
+    // count is its base plus the consolidated dir's rows
+    val consolidatedCounts = deltaReplaces.foldLeft(rewrittenCounts) {
+      case (m, (b, (_, n))) =>
+        val oldStack = prev.flatMap(_.deltaRowsOf(b)).getOrElse(0L)
+        m.updated(b.toString, math.max(0L, m.getOrElse(b.toString, 0L) - oldStack) + n)
+    }
     // delta rows join the bucket's physical row count (lineage stays
     // live for delta commits, not just rewrites)
-    val counts = deltaAdds.foldLeft(rewrittenCounts) {
+    val counts = deltaAdds.foldLeft(consolidatedCounts) {
       case (m, (b, (_, n))) => m.updated(b.toString, m.getOrElse(b.toString, 0L) + n)
     }
     publish(Commit(
       prev.map(_.version + 1).getOrElse(1L), batchId, txidWatermark, schema.json,
       (carried -- dropped) ++ rewritten.collect { case (k, Some(v)) => k.toString -> v },
-      counts, metrics, queryId, newDeltas))
+      counts, metrics, queryId, newDeltas, newDeltaCounts))
   }
 
   /** Atomically publish a pure MERGE-ON-READ delta commit: per-bucket

@@ -159,8 +159,10 @@ object ScalingBench {
         appliedTotal += st.applied
         val folded = table.currentCommit()
           .flatMap(_.metrics.get("foldedBuckets")).getOrElse(0L)
+        val cons = table.currentCommit()
+          .flatMap(_.metrics.get("consolidatedBuckets")).getOrElse(0L)
         System.err.println(f"[steady] batch$i applied=${st.applied} " +
-          f"folded=$folded ${(System.nanoTime() - tb) / 1e9}%.2f s")
+          f"folded=$folded cons=$cons ${(System.nanoTime() - tb) / 1e9}%.2f s")
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val cpu0 = cpuListener.cpuNanos.get() - cpuStart

@@ -217,8 +217,10 @@ class CdcApplySpec extends SparkSpec {
     CdcApply.applyBatch(spark, table, patch(100001, hot), maxDeltaDepth = 2)
     CdcApply.applyBatch(spark, table, patch(100002, hot), maxDeltaDepth = 2)
     assert(table.currentCommit().get.deltaDepthOf(hotBucket) == 2)
-    // ...the third FOLDS — and must rewrite ONLY the hot bucket
-    CdcApply.applyBatch(spark, table, patch(100003, hot), maxDeltaDepth = 2)
+    // ...the third FOLDS (foldRatio=0 forces fold over consolidation) —
+    // and must rewrite ONLY the hot bucket
+    CdcApply.applyBatch(spark, table, patch(100003, hot), maxDeltaDepth = 2,
+      foldRatio = 0.0)
     val folded = table.currentCommit().get
     assert(folded.metrics("foldedBuckets") == 1L)
     assert(folded.deltaDepthOf(hotBucket) == 0)
@@ -250,7 +252,8 @@ class CdcApplySpec extends SparkSpec {
     val before = table.commitLog().size
     // hot is at the cap, cold is not — one batch touching both
     CdcApply.applyBatch(spark, table,
-      patch(100003, hot).unionByName(patch(100004, cold)), maxDeltaDepth = 2)
+      patch(100003, hot).unionByName(patch(100004, cold)), maxDeltaDepth = 2,
+      foldRatio = 0.0)
     val c = table.currentCommit().get
     assert(table.commitLog().size == before + 1, "mixed apply must be ONE commit")
     assert(c.metrics("foldedBuckets") == 1L && c.metrics("deltaRows") == 1L)
@@ -261,6 +264,85 @@ class CdcApplySpec extends SparkSpec {
         $"conv_id".isin(hot, cold))
       .select("conv_id", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got(hot) == "p100003" && got(cold) == "p100004")
+  }
+
+  test("at-cap stack CONSOLIDATES into one delta dir; the base is not rewritten") {
+    import spark.implicits._
+    val events = corpus(2000)
+    val table = new LakeTable(tmpDir("consolidate"), numBuckets = 4)
+    CdcApply.applyBatch(spark, table, events) // base commit (~125 keys/bucket)
+    val basePaths = table.currentCommit().get.buckets
+    def patch(txid: Long, conv: String) =
+      Seq((txid, "update", s"e$txid", conv, 0, "user", s"p$txid",
+        null: String, java.sql.Timestamp.valueOf("2014-03-12 00:00:00")))
+        .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val hot = "conv00000001"
+    val hotBucket = spark.range(1).select(table.bucketCol(lit(hot))).head.getInt(0)
+    CdcApply.applyBatch(spark, table, patch(100001, hot), maxDeltaDepth = 2)
+    CdcApply.applyBatch(spark, table, patch(100002, hot), maxDeltaDepth = 2)
+    val stacked = table.currentCommit().get
+    assert(stacked.deltaDepthOf(hotBucket) == 2)
+    // third patch: the stack is at the cap but holds 2 rows vs ~125 base
+    // rows — the default policy must CONSOLIDATE, not fold
+    CdcApply.applyBatch(spark, table, patch(100003, hot), maxDeltaDepth = 2)
+    val c = table.currentCommit().get
+    assert(c.metrics("consolidatedBuckets") == 1L && c.metrics("foldedBuckets") == 0L)
+    assert(c.deltaDepthOf(hotBucket) == 1, "stack must collapse to ONE dir")
+    assert(c.buckets == basePaths, "consolidation must not touch any base")
+    // same-key updates collapse: the consolidated dir holds ONE row
+    assert(c.deltaRowsOf(hotBucket).contains(1L))
+    assert(table.read(spark).where($"conv_id" === hot && $"turn_idx" === 0)
+      .head.getAs[String]("text") == "p100003")
+    // the cycle repeats: one more append brings the consolidated dir
+    // back to the cap, and the next patch consolidates again
+    CdcApply.applyBatch(spark, table, patch(100004, hot), maxDeltaDepth = 2)
+    assert(table.currentCommit().get.deltaDepthOf(hotBucket) == 2)
+    CdcApply.applyBatch(spark, table, patch(100005, hot), maxDeltaDepth = 2)
+    val c2 = table.currentCommit().get
+    assert(c2.metrics("consolidatedBuckets") == 1L)
+    assert(c2.deltaDepthOf(hotBucket) == 1 && c2.buckets == basePaths)
+    assert(table.read(spark).where($"conv_id" === hot && $"turn_idx" === 0)
+      .head.getAs[String]("text") == "p100005")
+  }
+
+  test("consolidated stack folds to a fresh base once delta rows reach the ratio") {
+    import spark.implicits._
+    val events = corpus(2000)
+    val table = new LakeTable(tmpDir("cons-fold"), numBuckets = 4)
+    CdcApply.applyBatch(spark, table, events)
+    val basePaths = table.currentCommit().get.buckets
+    val hot = "conv00000001"
+    val hotBucket = spark.range(1).select(table.bucketCol(lit(hot))).head.getInt(0)
+    val baseRows = table.currentCommit().get.baseRowsOf(hotBucket).get
+    // each batch INSERTS 20 new keys into the hot conv, so the
+    // consolidated delta grows by 20/cycle instead of collapsing
+    def inserts(batch: Int) = {
+      val rows = (0 until 20).map { i =>
+        val k = batch * 20 + i
+        (200000L + k, "update", s"n$k", hot, 1000 + k, "user", s"ins$k",
+          null: String, java.sql.Timestamp.valueOf("2014-03-12 00:00:00"))
+      }
+      rows.toDF("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    }
+    var folded = false
+    var consolidatedFirst = false
+    var i = 0
+    while (!folded && i < 30) {
+      CdcApply.applyBatch(spark, table, inserts(i), maxDeltaDepth = 2)
+      val c = table.currentCommit().get
+      if (!folded && c.metrics.getOrElse("consolidatedBuckets", 0L) > 0L)
+        consolidatedFirst = true
+      folded = c.metrics.getOrElse("foldedBuckets", 0L) > 0L
+      i += 1
+    }
+    assert(consolidatedFirst, "small stacks must consolidate before any fold")
+    assert(folded, s"stack grew past ratio*base=${baseRows / 2} without folding")
+    val c = table.currentCommit().get
+    assert(c.deltaDepthOf(hotBucket) == 0)
+    assert(c.buckets(hotBucket.toString) != basePaths(hotBucket.toString))
+    // every inserted key is present exactly once with its latest text
+    val got = table.read(spark).where($"conv_id" === hot && $"turn_idx" >= 1000)
+    assert(got.count() == i * 20L)
   }
 
   test("ignore list: novel junk field does not widen the table schema") {
