@@ -121,6 +121,17 @@ object Similarity {
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** A 60-bit SimHash whose per-token hash is the first 15 hex digits
+    * of md5 — bit-for-bit reproducible by any engine with md5 (the
+    * DuckDB oracle for q50 recomputes it in SQL), unlike the default
+    * [[simhash64]] whose XXH64 token hash is Spark-internal. A native
+    * codegen'd expression ([[graft.functions.Md5SimHash60Expr]]): the
+    * HOF formulation (aggregate over a 60-wide vote array) ran
+    * interpreted at ~30 s over sf0.1's documents; the native loop is
+    * ~50× faster. */
+  def md5SimHash60(text: Column): Column =
+    graft.functions.Md5SimHash60Expr.md5SimHash60(text)
+
   /** SimHash near-dup pairs: block on 8-bit chunks — by pigeonhole, a
     * pair within hamming ≤ 7 of 64 bits must agree on at least one of
     * the 8 chunks — then verify exact hamming. (Short documents flip
@@ -133,11 +144,18 @@ object Similarity {
     * for a hard bound on the blow-up (a pair inside the hamming budget
     * collides on several chunks, so eviction from one hot block rarely
     * loses it). Eviction order is id-hash, not id, so systematically
-    * high ids (e.g. planted mutants) aren't preferentially evicted. */
+    * high ids (e.g. planted mutants) aren't preferentially evicted.
+    *
+    * With `maxBucket` effectively unbounded the pigeonhole guarantee
+    * makes the output EXACTLY the exhaustive all-pairs answer at
+    * `maxHamming` ≤ 7 — q50 exploits that with the md5 fingerprint to
+    * hash-match a DuckDB oracle. `fingerprint` swaps the simhash
+    * implementation (default: the native XXH64 expression). */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7, maxBucket: Int = 128): DataFrame = {
-    val hashed = df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sh"))
+      maxHamming: Int = 7, maxBucket: Int = 128,
+      fingerprint: Column => Column = simhash64): DataFrame = {
+    val hashed = df.select(col(idCol).as("_id"), fingerprint(col(textCol)).as("_sh"))
     val chunked = hashed.select(col("_id"),
         explode(transform(sequence(lit(0), lit(7)),
           c => struct(c.as("chunk"),

@@ -60,6 +60,46 @@ object MlQueries {
         withMutants(t(s, d, "documents")), "doc_id", "text", maxHamming = 7),
       None),
 
+    // SimHash EXHAUSTIVE parity: same banding+verify operator, but (a)
+    // the bucket cap is lifted, so the 8×8-bit pigeonhole guarantee
+    // makes the banded output EXACTLY the all-pairs answer at hamming
+    // ≤ 7, and (b) the fingerprint's per-token hash is an md5 prefix,
+    // which DuckDB recomputes bit-for-bit in SQL — so the probabilistic
+    // operator's candidate generation + verification is hash-matched
+    // against an engine-independent exhaustive oracle. q31 keeps the
+    // production (XXH64-fingerprint, capped) form of the same operator.
+    // Like every exhaustive-parity check (q30/q32 oracles), the input
+    // is a bounded slice — uncapped all-pairs on an unbounded corpus is
+    // exactly what the production form exists to avoid.
+    QueryDef("q50_simhash_exhaustive",
+      (s, d) => Similarity.simhashNearDups(
+        withMutants(t(s, d, "documents").where(col("doc_id") < 500)),
+        "doc_id", "text",
+        maxHamming = 7, maxBucket = Int.MaxValue,
+        fingerprint = Similarity.md5SimHash60),
+      Some("""WITH d AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 500
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text || ' mutated' AS text
+          FROM documents WHERE doc_id < 500
+        ), th AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+                FROM d)
+        ), bits AS (
+          SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th, (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b
+        ), fp AS (
+          SELECT d.doc_id,
+            CAST(coalesce(sum(CASE WHEN bits.v > 0 THEN (1::BIGINT << bits.b) ELSE 0 END), 0) AS BIGINT) AS f
+          FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id GROUP BY d.doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= 7""")),
+
     // LSH candidates + exact Jaccard verify, single shingle pass. The
     // oracle is the EXHAUSTIVE all-pairs exact Jaccard at the same
     // integer threshold (7/10): with bands=32 the LSH miss probability

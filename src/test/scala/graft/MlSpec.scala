@@ -47,6 +47,39 @@ class MlSpec extends SparkSpec {
     assert(j((0L, 1L)) < 0.5)
   }
 
+  test("uncapped md5-fingerprint banding equals brute-force exhaustive hamming pairs") {
+    val mutated = MlQueries.withMutants(docs)
+    val banded = Similarity.simhashNearDups(mutated, "doc_id", "text",
+        maxHamming = 7, maxBucket = Int.MaxValue,
+        fingerprint = Similarity.md5SimHash60)
+      .select("id_a", "id_b", "hamming")
+    val fp = mutated.select(col("doc_id"),
+      Similarity.md5SimHash60(col("text")).as("f"))
+    val brute = fp.as("a").crossJoin(fp.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Similarity.hamming(col("a.f"), col("b.f")).as("hamming"))
+      .where(col("hamming") <= 7)
+    // the 8×8-bit pigeonhole guarantee: hamming ≤ 7 ⇒ one chunk agrees,
+    // so banded candidate generation loses NOTHING vs all-pairs
+    assertSameRows(banded, brute)
+    assert(banded.count() > 0)
+  }
+
+  test("md5 simhash60 fingerprint matches its SQL formulation (oracle parity)") {
+    // the expression's digest math vs the conv(substr(md5)) built-in
+    // path the DuckDB oracle mirrors — one token is one md5 prefix
+    val one = docs.select(
+      Similarity.md5SimHash60(lit("hello")).as("e"),
+      conv(substr(md5(lit("hello")), lit(1), lit(15)), 16, 10).cast("long").as("h"))
+      .head()
+    // a single token votes its own bits: fingerprint == token hash
+    assert(one.getLong(0) == one.getLong(1))
+    // and the fingerprint stays within 60 bits
+    val maxFp = docs.select(max(Similarity.md5SimHash60(col("text")))).head().getLong(0)
+    assert(maxFp >= 0L && maxFp < (1L << 60))
+  }
+
   test("simhash is per-row deterministic and order-insensitive to partitioning") {
     val a = docs.select(col("doc_id"), Similarity.simhash64(col("text")).as("sh"))
     val b = docs.repartition(7)
