@@ -253,8 +253,12 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     * path needs them for the per-key version gate). */
   def readRaw(spark: SparkSession): DataFrame = currentCommit() match {
     case None => spark.emptyDataFrame
-    // all buckets: delta files may hold rows of buckets with no base yet
-    case Some(c) => readCommit(spark, c, 0 until numBuckets)
+    // every LIVE bucket from the commit itself (base keys ∪ delta keys —
+    // deltas may hold buckets with no base yet), so full-table reads are
+    // independent of the constructor's numBuckets (a reader — e.g. the
+    // SQL facade — need not know the writer's bucket count)
+    case Some(c) => readCommit(spark, c,
+      (c.buckets.keySet ++ c.deltas.keySet).toSeq.map(_.toInt).sorted)
   }
 
   /** Snapshot read pruned to the given buckets (MERGE reads only the
