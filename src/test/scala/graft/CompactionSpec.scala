@@ -43,6 +43,33 @@ class CompactionSpec extends SparkSpec {
     t.read(spark).select("conv_id", "turn_idx", "text")
       .collect().map(_.mkString("|")).toSet
 
+  test("vacuum reclaims delta dirs stranded by a stack consolidation") {
+    import spark.implicits._
+    val events = Corpus.changeEvents(spark, 2000, nConvs = 40, maxTurns = 8)
+    val table = new LakeTable(tmpDir("vacuum-cons"), numBuckets = 4)
+    CdcApply.applyBatch(spark, table, events)
+    def patch(txid: Long) =
+      Seq((txid, "update", s"e$txid", "conv00000001", 0, "user", s"p$txid",
+        null: String, java.sql.Timestamp.valueOf("2014-03-12 00:00:00")))
+        .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    CdcApply.applyBatch(spark, table, patch(100001), maxDeltaDepth = 2)
+    CdcApply.applyBatch(spark, table, patch(100002), maxDeltaDepth = 2)
+    val stackDirs = table.currentCommit().get.deltaFiles.map(_.split("/")(1)).toSet
+    assert(stackDirs.size == 2)
+    // consolidation replaces the whole stack (this conv's bucket is the
+    // only bucket in these delta dirs), stranding both old dirs
+    CdcApply.applyBatch(spark, table, patch(100003), maxDeltaDepth = 2)
+    assert(table.currentCommit().get.metrics("consolidatedBuckets") == 1L)
+    val expected = finalPayloadRows(table)
+    val deleted = table.vacuum(retainCommits = 1)
+    assert(stackDirs.subsetOf(deleted.toSet),
+      s"stranded stack dirs $stackDirs not vacuumed (deleted: $deleted)")
+    assert(finalPayloadRows(table) == expected)
+    assert(table.read(spark)
+      .where($"conv_id" === "conv00000001" && $"turn_idx" === 0)
+      .head.getAs[String]("text") == "p100003")
+  }
+
   test("commit-log checkpoint truncates history, keeps idempotence and promoted schemas") {
     import spark.implicits._
     val events = Corpus.changeEvents(spark, 3000, nConvs = 40, maxTurns = 8)
