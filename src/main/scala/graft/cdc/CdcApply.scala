@@ -161,6 +161,13 @@ object CdcApply {
     * amplification ~4× while read amplification stays ≤ depth+1. */
   val FoldToBaseRatio = 0.5
 
+  /** Below this batch size the steady-state delta write stays a single
+    * coalesced task (a shuffle's stage overhead would dominate);
+    * at/above it the write is hash-partitioned by bucket so each
+    * bucket's file is written in parallel — the lone writer task
+    * measured ~40% of a 100k-event batch's wall time. */
+  val ParallelDeltaWriteMinEvents = 20000L
+
   def applyBatch(
       spark: SparkSession,
       table: LakeTable,
@@ -313,32 +320,61 @@ object CdcApply {
           // gate, the effectiveness stats (Observation) and the write
           // run as ONE job — no persist, no separate stats job; a
           // micro-batch's fixed cost is the prune pre-scan plus this
-          // single write. Winners land as ONE small bucket-partitioned
-          // parquet dir — O(batch) write regardless of table size (one
-          // coalesced task; sorted so each bucket file's row groups
-          // carry tight conv_id min/max for later pruned reads). Readers
+          // single write. Winners land as one small bucket-partitioned
+          // parquet dir — O(batch) write regardless of table size. The
+          // final exchange hash-partitions the winners BY BUCKET (an
+          // O(batch) batch-side shuffle; explicit numPartitions so AQE
+          // cannot collapse it): each bucket lands in exactly one task,
+          // so the dir holds one file per bucket written in parallel —
+          // a single coalesced writer task measured ~40% of steady
+          // batch wall. Sorted so each bucket file's row groups carry
+          // tight conv_id min/max for later pruned reads. Readers
           // resolve base ∪ that bucket's deltas per key by max _txid.
           // An all-stale batch leaves an empty dir that is deleted again
           // (no commit — idempotent no-op).
           val obs = new org.apache.spark.sql.Observation(s"delta-$version")
-          effectivePlan
+          val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+          val observed = effectivePlan
             .observe(obs,
               count(lit(1)).as("n"),
               coalesce(sum(col("_deleted").cast("long")), lit(0L)).as("nDel"),
               max(col("_txid")).as("maxTx"))
-            .coalesce(1).withColumn("_bucket", bucketOf)
+            .withColumn("_bucket", bucketOf)
+          // tiny batches: a lone writer task beats a shuffle's stage
+          // overhead; real batches: the one-task write was ~40% of
+          // steady wall, so spread the write across the cluster
+          val arranged =
+            if (batchCount >= 0 && batchCount < ParallelDeltaWriteMinEvents)
+              observed.coalesce(1)
+            else observed.repartition(shufflePartitions, col("_bucket"))
+          arranged
             .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
             .write.mode("overwrite").partitionBy("_bucket")
             .parquet(deltaOutDir.toString)
+          // AQE may replace an all-stale (empty) winner subtree with an
+          // empty relation, dropping the CollectMetrics node — a missing
+          // metrics map therefore USUALLY means n=0, but never trust a
+          // silent no-op: fall back to the just-written dir (reading the
+          // O(batch) delta back is cheap and only happens on that path)
           val m = obs.get
-          val n = Option(m("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+          val (n, nDel, maxTxObs) =
+            if (m.get("n").exists(_ != null))
+              (m("n").asInstanceOf[Long],
+                m("nDel").asInstanceOf[Long],
+                Option(m("maxTx")).map(_.asInstanceOf[Long]).getOrElse(prevWm))
+            else if (LakeTable.footerRowCounts(deltaOutDir).isEmpty) (0L, 0L, prevWm)
+            else {
+              val r = spark.read.parquet(deltaOutDir.toString)
+                .agg(count(lit(1)), coalesce(sum(col("_deleted").cast("long")), lit(0L)),
+                  max(col("_txid"))).head()
+              (r.getLong(0), r.getLong(1), r.getLong(2))
+            }
           if (n == 0L) {
             deleteRecursively(deltaOutDir)
             return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
               skippedReplay = false, prevWm, 0)
           }
-          val nDel = m("nDel").asInstanceOf[Long]
-          val maxTx = math.max(prevWm, m("maxTx").asInstanceOf[Long])
+          val maxTx = math.max(prevWm, maxTxObs)
           val adds = LakeTable.footerRowCounts(deltaOutDir).map { case (b, cnt) =>
             b -> (s"$deltaRel/_bucket=$b", cnt)
           }
@@ -376,7 +412,7 @@ object CdcApply {
                 if (deltaBuckets.isEmpty) None
                 else Some(effective
                   .where(bucketOf.isin(deltaBuckets.map(Integer.valueOf): _*))
-                  .coalesce(1))
+                  .repartition(bucketOf))
               val consPart =
                 if (consBuckets.isEmpty) None
                 else {
