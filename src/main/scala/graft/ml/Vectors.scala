@@ -73,6 +73,39 @@ object Vectors {
     transform(sequence(lit(0), lit(tables - 1)),
       t => struct(t.cast("int").as("tbl"), lshBucket(vec, planes, t).as("bkt")))
 
+  /** ENGINE-PORTABLE bucketing for the q51 parity oracle: the plane
+    * sign for (table, plane, dim) is the parity of the first hex digit
+    * of md5("t:p:i") — recomputable in any engine with md5 — and the
+    * projection runs over the embedding QUANTIZED to
+    * round(x*1000) longs, so the sign decision is integer-exact (no
+    * FP-summation-order hazard at proj ≈ 0). Signs are baked in as
+    * literal arrays (computed once on the driver with the same md5),
+    * so the per-row expression does no hashing. */
+  def portablePlaneSigns(planes: Int, tables: Int, dim: Int)
+      : IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (t <- 0 until tables) yield
+      for (p <- 0 until planes) yield
+        for (i <- 0 until dim) yield {
+          md.reset()
+          val d = md.digest(s"$t:$p:$i".getBytes("UTF-8"))
+          if ((((d(0) >> 4) & 0xF) % 2) == 0) 1L else -1L
+        }
+  }
+
+  def lshBucketsPortable(vec: Column, planes: Int, tables: Int, dim: Int): Column = {
+    val signs = portablePlaneSigns(planes, tables, dim)
+    val zv = transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+    array((0 until tables).map { t =>
+      val bkt = (0 until planes).map { p =>
+        val s = typedLit(signs(t)(p))
+        when(aggregate(zip_with(zv, s, (x, y) => x * y), lit(0L), _ + _) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      struct(lit(t).as("tbl"), bkt.as("bkt"))
+    }: _*)
+  }
+
   /** ANN via multi-table random-hyperplane LSH for a SMALL query set:
     * bucket the corpus and queries with L independent plane sets; a
     * pair is a candidate if it collides in ANY table (recall ≈
@@ -91,10 +124,12 @@ object Vectors {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      planes: Int = 8, tables: Int = 8, maxBucket: Int = 1024): DataFrame = {
+      planes: Int = 8, tables: Int = 8, maxBucket: Int = 1024,
+      bucketer: Column => Column = null): DataFrame = {
+    val mkBuckets: Column => Column =
+      if (bucketer != null) bucketer else lshBuckets(_, planes, tables)
     def bucketed(df: DataFrame, id: String, vec: String) =
-      df.select(col(id),
-          explode(lshBuckets(col(vec), planes, tables)).as("b"))
+      df.select(col(id), explode(mkBuckets(col(vec))).as("b"))
         .select(col(id), col("b.tbl"), col("b.bkt"))
     val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

@@ -149,6 +149,52 @@ object MlQueries {
         SELECT query_id, corpus_id, rank, round(cos_sim, 6) AS cos_sim_r
         FROM ranked WHERE rank <= 5""")),
 
+    // LSH ANN PARITY: the same lshTopK operator, with (a) plane signs
+    // derived from md5("t:p:i") instead of Spark-internal xxhash64,
+    // (b) projections over round(x*1000)-quantized longs so the sign
+    // decision is integer-exact in both engines, and (c) the bucket cap
+    // lifted — so the DuckDB oracle recomputes the buckets, the
+    // any-table candidate union, the exact cosine scoring and the
+    // ranking from scratch. This oracles the ANN pipeline end to end;
+    // q34 keeps the production (xxhash64, capped) form.
+    QueryDef("q51_ann_lsh_parity",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Vectors.lshTopK(e, e.where(col("vec_id") < 3),
+            "vec_id", "embedding", k = 5, planes = 4, tables = 8,
+            maxBucket = Int.MaxValue,
+            bucketer = Vectors.lshBucketsPortable(_, 4, 8, 64))
+          .select(col("query_id"), col("corpus_id"), col("rank"),
+            round(col("cos_sim"), 6).as("cos_sim_r"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        z AS (SELECT vec_id, list_transform(v, x -> CAST(round(x*1000) AS BIGINT)) AS zv FROM e),
+        dims AS (SELECT unnest(range(64)) AS i),
+        tp AS (SELECT t, p FROM (SELECT unnest(range(8)) AS t), (SELECT unnest(range(4)) AS p)),
+        sgn AS (SELECT t, p, i,
+            CASE WHEN CAST(concat('0x', substr(md5(t || ':' || p || ':' || i), 1, 1)) AS INTEGER) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+          FROM tp, dims),
+        proj AS (SELECT z.vec_id, g.t, g.p, sum(z.zv[g.i + 1] * g.s) AS pr
+          FROM z, sgn g GROUP BY z.vec_id, g.t, g.p),
+        buck AS (SELECT vec_id, t,
+            sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bkt
+          FROM proj GROUP BY vec_id, t),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+          FROM buck q JOIN buck c ON q.t = c.t AND q.bkt = c.bkt
+          WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+        scored AS (SELECT query_id, corpus_id,
+            list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+          FROM cand
+          JOIN e a ON a.vec_id = corpus_id
+          JOIN e b ON b.vec_id = query_id),
+        ranked AS (SELECT query_id, corpus_id, cos_sim,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, corpus_id, rank, round(cos_sim, 6) AS cos_sim_r
+        FROM ranked WHERE rank <= 5""")),
+
     // LSH-bucketed ANN — the scale path; structural check only
     QueryDef("q34_ann_lsh",
       (s, d) => {

@@ -97,6 +97,27 @@ class MlSpec extends SparkSpec {
     assert(byQuery.values.forall(_.map(_.getInt(3)).sorted.toSeq == (1 to 5)))
   }
 
+  test("portable-bucket LSH ANN: partition-invariant, ranked, overlaps brute force") {
+    val bucketer = (v: org.apache.spark.sql.Column) =>
+      Vectors.lshBucketsPortable(v, 4, 8, 64)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Vectors.lshTopK(c, c.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, planes = 4, tables = 8, maxBucket = Int.MaxValue,
+        bucketer = bucketer)
+    val a = run(embeddings)
+    val b = run(embeddings.repartition(7))
+    assertSameRows(a, b) // md5-literal signs: no partitioning dependence
+    val rows = a.collect()
+    assert(rows.length > 0 &&
+      rows.forall(r => r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 5))
+    val brute = Vectors.bruteForceTopK(embeddings,
+        embeddings.where(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((brute & got).size >= brute.size / 2,
+      s"portable LSH overlap with brute force too low: ${(brute & got).size}/${brute.size}")
+  }
+
   test("LSH ANN results are a subset-quality approximation of brute force") {
     val bf = Vectors.bruteForceTopK(embeddings,
         embeddings.where(col("vec_id") < 3), "vec_id", "embedding", 5)
