@@ -171,7 +171,8 @@ object Vectors {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+      nlist: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      portableSeeds: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val unit = (v: Column) => transform(v, x => x.cast("double") / l2norm(v))
@@ -194,10 +195,16 @@ object Vectors {
         .groupBy(idC)
         .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"))
 
-    // deterministic seeds: the nlist hash-minimal corpus vectors
+    // deterministic seeds: the nlist hash-minimal corpus vectors.
+    // portableSeeds orders by md5 of the id string instead of Spark's
+    // xxhash64, so an external oracle (q52) can pick the same seeds.
+    val seedsOrdered =
+      if (portableSeeds)
+        cv.withColumn("__h", md5(col("corpus_id").cast("string")))
+          .orderBy(col("__h"), col("corpus_id"))
+      else cv.withColumn("__h", xxhash64(col("corpus_id"))).orderBy("__h")
     var centroids = centDf(
-      cv.withColumn("__h", xxhash64(col("corpus_id")))
-        .orderBy("__h").limit(nlist)
+      seedsOrdered.limit(nlist)
         .collect().zipWithIndex
         .map { case (r, i) => i -> r.getSeq[Double](2) }.toSeq)
     (0 until iters).foreach { _ =>

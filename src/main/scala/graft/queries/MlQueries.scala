@@ -218,6 +218,56 @@ object MlQueries {
       },
       None),
 
+    // IVF ANN PARITY: the same ivfTopK operator with md5-ordered seed
+    // centroids and ZERO Lloyd iterations, so the whole index/probe/
+    // rank pipeline — seed pick, double normalization, nearest-centroid
+    // assignment, nProbe list selection, exact cosine ranking — is
+    // recomputed from scratch by the DuckDB oracle. The k-means
+    // REFINEMENT (iters>0) stays structural in q47: an iterative
+    // driver loop is not one SQL expression, and the probe semantics
+    // it feeds are exactly what q52 pins down.
+    QueryDef("q52_ann_ivf_parity",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Vectors.ivfTopK(e, e.where(col("vec_id") < 3),
+            "vec_id", "embedding", k = 5, nlist = 16, nProbe = 4,
+            iters = 0, portableSeeds = true)
+          .select(col("query_id"), col("corpus_id"), col("rank"),
+            round(col("cos_sim"), 6).as("cos_sim_r"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v,
+            list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
+        seeds AS (SELECT u, cluster FROM (
+            SELECT u, row_number() OVER (
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cluster
+            FROM n) WHERE cluster < 16),
+        cent AS (SELECT cluster,
+            list_transform(u, x -> x / sqrt(list_dot_product(u, u))) AS c FROM seeds),
+        asn AS (SELECT vec_id, cluster FROM (
+            SELECT nn.vec_id, ct.cluster, row_number() OVER (
+                PARTITION BY nn.vec_id
+                ORDER BY list_dot_product(nn.u, ct.c) DESC, ct.cluster ASC) AS r
+            FROM n nn, cent ct) WHERE r = 1),
+        probe AS (SELECT vec_id AS query_id, cluster FROM (
+            SELECT nn.vec_id, ct.cluster, row_number() OVER (
+                PARTITION BY nn.vec_id
+                ORDER BY list_dot_product(nn.u, ct.c) DESC, ct.cluster ASC) AS r
+            FROM n nn, cent ct WHERE nn.vec_id < 3) WHERE r <= 4),
+        scored AS (SELECT p.query_id, a.vec_id AS corpus_id,
+            list_dot_product(cv.v, qv.v) /
+              (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS cos_sim
+          FROM probe p
+          JOIN asn a ON a.cluster = p.cluster
+          JOIN e cv ON cv.vec_id = a.vec_id
+          JOIN e qv ON qv.vec_id = p.query_id
+          WHERE a.vec_id <> p.query_id),
+        ranked AS (SELECT query_id, corpus_id, cos_sim, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, corpus_id, rank, round(cos_sim, 6) AS cos_sim_r
+        FROM ranked WHERE rank <= 5""")),
+
     // multimodal: binary column byte accounting (portable oracle)
     QueryDef("q35_blob_bytes",
       (s, d) => t(s, d, "documents").select(
