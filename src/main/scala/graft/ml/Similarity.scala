@@ -21,8 +21,13 @@ object Similarity {
     * materialized once into its own cache, after which the heavy
     * per-document intermediates (shingle/signature/vector frames, which
     * would otherwise stay pinned on disk until session end) are
-    * released. Callers get an already-computed frame; re-invocations in
-    * a long-lived session no longer accumulate MEMORY_AND_DISK blocks. */
+    * released. The persisted result must outlive this call (the
+    * intermediates it derives from are gone), so its — small, capped —
+    * cache blocks are retained for the session; callers that invoke an
+    * operator many times in one long-lived session own that trade and
+    * may unpersist each result after consuming it. What this fixes is
+    * the UNBOUNDED case: the heavy O(corpus) intermediates no longer
+    * accumulate per invocation. */
   private[ml] def materializeAndRelease(
       result: DataFrame, intermediates: DataFrame*): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -89,8 +94,10 @@ object Similarity {
     val banded = sigs.select(col("_id"),
         explode(lshBands(col("_sig"), k, bands)).as("b"))
       .select(col("_id"), col("b.band"), col("b.bucket"))
-    // cap pathological buckets (constant-prefix shingle floods)
-    val wB = Window.partitionBy("band", "bucket").orderBy("_id")
+    // cap pathological buckets (constant-prefix shingle floods);
+    // id-HASH eviction order, not id order — systematically high ids
+    // (e.g. planted mutants at doc_id+100000) must not be evicted first
+    val wB = Window.partitionBy("band", "bucket").orderBy(xxhash64(col("_id")))
     val capped = banded.withColumn("_rn", row_number().over(wB))
       .where(col("_rn") <= maxBucket).drop("_rn")
     val l = capped.select(col("band"), col("bucket"), col("_id").as("id_a"))

@@ -147,8 +147,14 @@ object CdcQueries {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val logDir = scratch("winlog-")
+        // explicit ts order: segment files must arrive watermark-
+        // monotonically for the closed-window oracle to model the
+        // stream's eviction (don't lean on the generator happening to
+        // emit sorted rows — orderBy + coalesce keeps parts ts-ranged
+        // in filename order, which is FileStreamSource's tie order)
         graft.streaming.CdcStream.writeSegment(
-          t(s, d, "events").select(col("user_id"), col("ts")), logDir, parts = 3)
+          t(s, d, "events").select(col("user_id"), col("ts")).orderBy("ts"),
+          logDir, parts = 3)
         val parsed = s.readStream.option("maxFilesPerTrigger", 1).text(logDir)
           .select(
             get_json_object(col("value"), "$.user_id").cast("bigint").as("user_id"),

@@ -45,10 +45,12 @@ object MlQueries {
           UNION ALL
           SELECT doc_id + 100000 AS doc_id, text || ' mutated' AS text FROM documents
         ), sh AS (
-          SELECT doc_id, list_distinct(list_transform(
-            range(1, greatest(len(toks) - 2, 1) + 1),
-            i -> array_to_string(toks[i:i+2], ' '))) AS shg
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d)
+          SELECT doc_id, shg FROM (
+            SELECT doc_id, list_filter(list_distinct(list_transform(
+              range(1, greatest(len(toks) - 2, 1) + 1),
+              i -> array_to_string(toks[i:i+2], ' '))), s -> s <> '') AS shg
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d))
+          WHERE len(shg) > 0
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -116,10 +118,12 @@ object MlQueries {
           UNION ALL
           SELECT doc_id + 100000 AS doc_id, text || ' mutated' AS text FROM documents
         ), sh AS (
-          SELECT doc_id, list_distinct(list_transform(
-            range(1, greatest(len(toks) - 2, 1) + 1),
-            i -> array_to_string(toks[i:i+2], ' '))) AS shg
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d)
+          SELECT doc_id, shg FROM (
+            SELECT doc_id, list_filter(list_distinct(list_transform(
+              range(1, greatest(len(toks) - 2, 1) + 1),
+              i -> array_to_string(toks[i:i+2], ' '))), s -> s <> '') AS shg
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d))
+          WHERE len(shg) > 0
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(len(list_distinct(list_intersect(a.shg, b.shg))) AS INTEGER) AS n_inter,

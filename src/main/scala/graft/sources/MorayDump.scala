@@ -57,7 +57,12 @@ object MorayDump {
   private def stripScheme(uri: String): String =
     "/" + uri.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "").stripPrefix("/")
 
-  private def firstLineHeaders(path: String): Map[String, (String, Seq[String])] = {
+  /** Returns (file-uri -> header) for every file whose FIRST line is a
+    * header, plus the total candidate file count — the fast path is
+    * authoritative only when it explained every file (a partial result
+    * would silently misattribute the unexplained files' entries). */
+  private def firstLineHeaders(
+      path: String): (Map[String, (String, Seq[String])], Int) = {
     import scala.jdk.CollectionConverters._
     import java.nio.file.{Files, Paths}
     val root = Paths.get(path)
@@ -71,7 +76,7 @@ object MorayDump {
           }.toList
         finally s.close()
       } else if (Files.isRegularFile(root)) List(root) else Nil
-    files.flatMap { f =>
+    val found = files.flatMap { f =>
       val line =
         try {
           val r = Files.newBufferedReader(f)
@@ -90,6 +95,7 @@ object MorayDump {
         } catch { case _: Throwable => None }
       }
     }.toMap
+    (found, files.size)
   }
 
   /** Read one bucket's dump into a DataFrame with the header's columns
@@ -105,8 +111,12 @@ object MorayDump {
       spark: SparkSession, path: String,
       bucket: Option[String] = None): DataFrame = {
     val byFile: Map[String, (String, Seq[String])] = {
-      val fast = firstLineHeaders(path)
-      if (fast.nonEmpty) fast
+      // the line-1 fast path stands only when it explained EVERY file:
+      // a subset (e.g. concatenated shards with mid-file headers) must
+      // fall back to the distributed header scan, or the unexplained
+      // files' entries would be misattributed to the wrong header
+      val (fast, totalFiles) = firstLineHeaders(path)
+      if (fast.nonEmpty && fast.size == totalFiles) fast
       else spark.read.option("recursiveFileLookup", "true").text(path)
         .select(from_json(col("value"), lineSchema).as("r"),
           col("_metadata.file_path").as("_f"))

@@ -244,10 +244,14 @@ object CdcStream {
               // triggered only when ≥20% of it is reclaimable.
               if (stats.applied > 0) {
                 val log = table.commitLog()
-                val sinceCompact = log.reverse
-                  .takeWhile(c => !c.metrics.contains("compaction"))
-                val delSince = sinceCompact
-                  .map(_.metrics.getOrElse("deletes", 0L)).sum
+                // the latest commit carries the running counter, which
+                // survives commit-log checkpoint truncation (a history
+                // walk would see at most the retained window's deletes
+                // and could starve compaction forever on a long stream)
+                val delSince = log.last.metrics.getOrElse(
+                  "deletesSinceCompaction",
+                  log.reverse.takeWhile(c => !c.metrics.contains("compaction"))
+                    .map(_.metrics.getOrElse("deletes", 0L)).sum)
                 val totalRows = log.last.rowCounts.values.sum
                 if (delSince >= autoCompactMinDeletes && delSince * 5 >= totalRows) {
                   table.compact(session,

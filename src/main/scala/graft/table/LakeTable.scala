@@ -176,7 +176,26 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       }
       val horizon = ckpt.map(_._2).getOrElse(0L)
       val parsed = commitFiles
-        .map(p => Serialization.read[Commit](Files.readString(p)))
+        .map { p =>
+          val body = Files.readString(p)
+          // pre-bucket-partitioned commits stored un-bucketed delta dirs
+          // under `deltaFiles`; silently ignoring them would DROP their
+          // rows from every read and let vacuum delete them — refuse
+          // loudly instead (fold/compact with the writing version first)
+          if (body.contains("\"deltaFiles\"")) {
+            val legacy = org.json4s.jackson.JsonMethods.parse(body) \ "deltaFiles"
+            legacy match {
+              case org.json4s.JArray(xs) if xs.nonEmpty =>
+                throw new UnsupportedOperationException(
+                  s"commit ${p.getFileName} carries pre-upgrade un-bucketed " +
+                    "delta dirs (deltaFiles) this version cannot read; " +
+                    "compact the table with the version that wrote it " +
+                    "before upgrading")
+              case _ =>
+            }
+          }
+          Serialization.read[Commit](body)
+        }
         .filter(_.version > horizon)
       val state = (ckpt, parsed)
       commitCache = (names, state)
@@ -418,10 +437,18 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     val counts = deltaAdds.foldLeft(consolidatedCounts) {
       case (m, (b, (_, n))) => m.updated(b.toString, m.getOrElse(b.toString, 0L) + n)
     }
+    // running tombstone counter: maintenance triggers read it from the
+    // LATEST commit alone, so checkpointLog()'s history truncation
+    // cannot under-count slow-but-steady delete accumulation
+    val delSince =
+      if (metrics.contains("compaction")) 0L
+      else prev.flatMap(_.metrics.get("deletesSinceCompaction")).getOrElse(0L) +
+        metrics.getOrElse("deletes", 0L)
     publish(Commit(
       prev.map(_.version + 1).getOrElse(1L), batchId, txidWatermark, schema.json,
       (carried -- dropped) ++ rewritten.collect { case (k, Some(v)) => k.toString -> v },
-      counts, metrics, queryId, newDeltas, newDeltaCounts))
+      counts, metrics + ("deletesSinceCompaction" -> delSince),
+      queryId, newDeltas, newDeltaCounts))
   }
 
   /** Atomically publish a pure MERGE-ON-READ delta commit: per-bucket

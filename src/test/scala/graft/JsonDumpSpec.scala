@@ -109,6 +109,31 @@ class JsonDumpSpec extends SparkSpec {
     intercept[IllegalArgumentException] { MorayDump.readDump(spark, dir) }
   }
 
+  test("moray dump: mid-file header (concatenated shard) falls back to the full scan") {
+    import spark.implicits._
+    val a = Seq(("1", """{"x":1}""")).toDF("_id", "_value")
+    val b = Seq(("2", "extra", """{"y":2}""")).toDF("_id", "_custom", "_value")
+    val dir = tmpDir("dump-midhdr")
+    // file A: normal shard, header on line 1
+    MorayDump.dumpLines(a, "bucketA").coalesce(1).write.mode("overwrite").text(s"$dir/a")
+    // file B: a concatenation artifact — a stray blank-ish line BEFORE
+    // the header, so the first-line fast path cannot explain this file
+    val bLines = MorayDump.dumpLines(b, "bucketB").as[String].collect()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/b"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/b/part-00000.txt"),
+      ("{}\n" + bLines.mkString("\n") + "\n").getBytes("UTF-8"))
+    // a partial fast-path result must NOT be treated as authoritative:
+    // bucketB exists (header mid-file) and must resolve correctly...
+    val backB = MorayDump.readDump(spark, dir, bucket = Some("bucketB"))
+    assert(backB.count() == 1 && backB.columns.contains("_custom"))
+    assert(backB.head.getAs[String]("_custom") == "extra")
+    // ...and an unqualified read of the two-bucket dir must still raise
+    intercept[IllegalArgumentException] { MorayDump.readDump(spark, dir) }
+    val backA = MorayDump.readDump(spark, dir, bucket = Some("bucketA"))
+    assert(backA.count() == 1 && !backA.columns.contains("_custom"))
+  }
+
   test("moray dump feeds PowerSchema.split end-to-end (reference wf shape)") {
     import spark.implicits._
     val rows = (0 until 50).map { i =>
