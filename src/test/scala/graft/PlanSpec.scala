@@ -143,6 +143,51 @@ class PlanSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("consolidation write reads only delta stacks — never a base file") {
+    import spark.implicits._
+    val table = new LakeTable(tmpDir("plancons"), numBuckets = 4)
+    CdcApply.applyBatch(spark, table,
+      Corpus.changeEvents(spark, 2000, nConvs = 50, maxTurns = 8))
+    def patch(txid: Long) =
+      Seq((txid, "update", s"e$txid", "conv00000001", 0, "user", s"p$txid",
+        null: String, java.sql.Timestamp.valueOf("2014-03-12 00:00:00")))
+        .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    CdcApply.applyBatch(spark, table, patch(100001), maxDeltaDepth = 2)
+    CdcApply.applyBatch(spark, table, patch(100002), maxDeltaDepth = 2)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // third patch hits the cap with a tiny stack → pure CONSOLIDATION
+      val s = CdcApply.applyBatch(spark, table, patch(100003), maxDeltaDepth = 2)
+      assert(s.applied == 1)
+      val c = table.currentCommit().get
+      assert(c.metrics("consolidatedBuckets") == 1L && c.metrics("foldedBuckets") == 0L)
+      import scala.jdk.CollectionConverters._
+      var tries = 0
+      def writePlans = plans.iterator().asScala.toSeq.filter { qe =>
+        val p = qe.executedPlan.toString
+        p.contains("WriteFiles") || p.contains("InsertIntoHadoopFsRelation")
+      }
+      while (writePlans.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(writePlans.nonEmpty, "no write-job plan captured")
+      // base dirs are data/c<digits>/_bucket=N; delta dirs data/c<digits>d/...
+      val baseDir = raw"data/c\d+/_bucket".r
+      writePlans.foreach { qe =>
+        val p = qe.executedPlan.toString
+        assert(baseDir.findFirstIn(p).isEmpty,
+          s"consolidation write scans a BASE file (O(stack) promise broken):\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("version-gate read scans only (merge keys, _txid) — pruning survives the base∪delta union") {
     val table = new LakeTable(tmpDir("plangate"), numBuckets = 8)
     val ev = Corpus.changeEvents(spark, 3000, nConvs = 50, maxTurns = 8)
