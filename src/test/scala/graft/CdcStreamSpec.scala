@@ -32,6 +32,33 @@ class CdcStreamSpec extends SparkSpec {
     assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
   }
 
+  test("long stream crosses consolidation and fold cycles; depth stays bounded") {
+    // a preloaded table takes 24 single-segment micro-batches against
+    // the default depth cap (8): stacks cross the cap ≥2 times, so the
+    // stream must exercise CONSOLIDATE (stack small vs base) and later
+    // FOLD (accumulated churn) transparently, converging to the oracle
+    // sized so the FIRST cap cycle's stacks are small vs the base
+    // (consolidate) and accumulated churn later crosses the 0.5x ratio
+    // (fold): base ~475 rows/bucket, ~16 delta rows/bucket/batch
+    val events = Corpus.changeEvents(spark, 15000, nConvs = 200, maxTurns = 20)
+    val table = new LakeTable(tmpDir("longstream-table"), numBuckets = 8)
+    graft.cdc.CdcApply.applyBatch(spark, table,
+      events.where(col("_txid") <= 12000L), pruneBuckets = false)
+    val dir = tmpDir("longstream-log")
+    val step = 125L
+    writeChangelog(dir, events, (0 until 24).map { i =>
+      (12001L + i * step, 12000L + (i + 1) * step)
+    })
+    CdcStream.runOnce(spark, s"$dir/chunk*", table, tmpDir("longstream-ckpt"),
+      maxFilesPerTrigger = 1)
+    assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
+    val log = table.commitLog()
+    assert(log.exists(_.metrics.getOrElse("consolidatedBuckets", 0L) > 0L),
+      "no consolidation happened across 24 capped micro-batches")
+    assert(log.forall(_.deltaDepth <= graft.cdc.CdcApply.MaxDeltaDepth),
+      s"depth cap violated: ${log.map(_.deltaDepth)}")
+  }
+
   test("checkpoint resume: stop mid-stream, add segments, resume — identical final state") {
     val events = Corpus.changeEvents(spark, 3000, nConvs = 60, maxTurns = 10)
     val logDir = tmpDir("resume-log")
