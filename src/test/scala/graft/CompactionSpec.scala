@@ -70,6 +70,26 @@ class CompactionSpec extends SparkSpec {
       .head.getAs[String]("text") == "p100003")
   }
 
+  test("pre-upgrade un-bucketed delta commits are refused, not silently dropped") {
+    val events = Corpus.changeEvents(spark, 500, nConvs = 20, maxTurns = 4)
+    val table = new LakeTable(tmpDir("legacy"), numBuckets = 4)
+    CdcApply.applyBatch(spark, table, events)
+    // forge a legacy-format commit carrying an un-bucketed delta dir
+    val c = table.currentCommit().get
+    val legacy = ("""{"version":%d,"batchId":-1,"txidWatermark":%d,""" +
+      """"schemaJson":%s,"buckets":{},"rowCounts":{},"metrics":{},""" +
+      """"queryId":"","deltaFiles":["data/c000000000001d"]}""").format(
+      c.version + 1, c.txidWatermark,
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JString(c.schemaJson))))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(table.location, "_commits",
+        f"${c.version + 1}%012d.json"), legacy)
+    val fresh = new LakeTable(table.location, numBuckets = 4)
+    val ex = intercept[UnsupportedOperationException] { fresh.currentCommit() }
+    assert(ex.getMessage.contains("deltaFiles"))
+  }
+
   test("commit-log checkpoint truncates history, keeps idempotence and promoted schemas") {
     import spark.implicits._
     val events = Corpus.changeEvents(spark, 3000, nConvs = 40, maxTurns = 8)
