@@ -42,36 +42,19 @@ object Vectors {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dimension d →
-    * a unit-free ±1 component from a hash (sign-random projections
-    * only need sign agreement, not Gaussian components). */
-  private def planeComponent(p: Int, d: Column): Column =
-    when(pmod(xxhash64(lit(p), d), lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
-
-  /** Pack `planes` sign bits of random projections into an LSH bucket
-    * key for hash table `table` (a column, so all tables compute in one
-    * expression). Vectors in the same (table, bucket) are candidates. */
-  def lshBucket(vec: Column, planes: Int, table: Column): Column = {
-    val signs = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") *
-            when(pmod(xxhash64(table, p, i), lit(2L)) === 0L,
-              lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(
-      zip_with(signs, sequence(lit(0), lit(planes - 1)),
-        (s, i) => call_function("shiftleft", s, i)),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
-
   /** All L table buckets for a vector in one per-row expression:
-    * array of struct(tbl, bkt). */
+    * array of struct(tbl, bkt). The bucket keys come from the native
+    * codegen'd [[graft.functions.LshBucketsExpr]] (tight multiply-add
+    * loop over a cached ±1 sign table); the only higher-order lambda
+    * left here wraps the `tables`-element key array into structs —
+    * O(tables) per row, not O(tables×planes×dim). The previous
+    * HOF-everything formulation evaluated ~9.2k interpreted
+    * xxhash64 calls per row at the 12×12×64 defaults and dominated
+    * the q43 wall time. */
   def lshBuckets(vec: Column, planes: Int, tables: Int): Column =
-    transform(sequence(lit(0), lit(tables - 1)),
-      t => struct(t.cast("int").as("tbl"), lshBucket(vec, planes, t).as("bkt")))
+    transform(
+      graft.functions.LshBucketsExpr.lshBucketKeys(vec, planes, tables),
+      (bkt, t) => struct(t.cast("int").as("tbl"), bkt.as("bkt")))
 
   /** ENGINE-PORTABLE bucketing for the q51 parity oracle: the plane
     * sign for (table, plane, dim) is the parity of the first hex digit

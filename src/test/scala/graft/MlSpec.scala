@@ -124,7 +124,7 @@ class MlSpec extends SparkSpec {
       .select("query_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Vectors.lshTopK(embeddings,
-        embeddings.where(col("vec_id") < 3), "vec_id", "embedding", 5, planes = 4, tables = 8)
+        embeddings.where(col("vec_id") < 3), "vec_id", "embedding", 5, planes = 4, tables = 16)
       .select("query_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // with 4 planes buckets are coarse — expect meaningful overlap
