@@ -180,7 +180,8 @@ object CdcApply {
       extraMetrics: Map[String, Long] = Map.empty,
       broadcastThreshold: Long = BroadcastMergeMaxEvents,
       maxDeltaDepth: Int = MaxDeltaDepth,
-      foldRatio: Double = FoldToBaseRatio): ApplyStats = {
+      foldRatio: Double = FoldToBaseRatio,
+      prunedHint: Option[(Seq[Int], Long)] = None): ApplyStats = {
     val prev = table.currentCommit()
     val prevWm = prev.map(_.txidWatermark).getOrElse(0L)
     if (batchId >= 0 && table.hasBatch(batchId, queryId))
@@ -204,11 +205,21 @@ object CdcApply {
     // the batch IS the bucket set of the winners — no window, no
     // materialization, ≤ numBuckets values collected). For bulk replays
     // that touch ~every bucket anyway (pruneBuckets=false) the pre-scan
-    // is pure overhead and skipped.
+    // is pure overhead and skipped. Callers that already run an O(batch)
+    // aggregation of their own (the streaming tail's lineage/drift
+    // summary) pass the bucket set and count as `prunedHint`, folding
+    // the pre-scan into that job — the steady-state micro-batch then
+    // pays exactly ONE pass over the batch before the write.
     var batchCount = -1L
-    val touched: Seq[Int] =
-      if (!pruneBuckets) 0 until table.numBuckets
-      else {
+    val touched: Seq[Int] = prunedHint match {
+      case Some((buckets, n)) =>
+        batchCount = n
+        if (n == 0L)
+          return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
+            skippedReplay = false, prevWm, 0)
+        buckets.sorted
+      case None if !pruneBuckets => 0 until table.numBuckets
+      case None =>
         val eAgg = events.agg(
           collect_set(table.bucketCol(col("conv_id"))).as("buckets"),
           count(lit(1)).as("n")).head()
@@ -217,7 +228,7 @@ object CdcApply {
           return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
             skippedReplay = false, prevWm, 0)
         eAgg.getSeq[Int](0).sorted
-      }
+    }
 
     // 2. latest event wins per key within the batch (§2.8 semantics) as
     // a partial-aggregable max_by instead of a row_number window: the

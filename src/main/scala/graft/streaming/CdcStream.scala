@@ -63,6 +63,41 @@ object CdcStream {
 
   private val CorruptCol = "__graft_corrupt"
 
+  /** Novel-key detection expression for one raw JSON line against the
+    * cached schema: top-level keys not in the schema (or the ignore
+    * list), plus — RECURSIVELY for every struct-typed field — subfield
+    * keys not in that struct's cached children, reported as dotted
+    * paths. A nested novel subfield is neither a novel top-level key
+    * nor a parse error under the cached schema (from_json silently
+    * drops it), so without the recursive arm drift inside struct
+    * payloads would go unnoticed until unrelated drift forced
+    * re-inference. Flat schemas (the transcript contract) contribute
+    * zero extra work — the nested arms exist only when the cached
+    * schema has struct fields. */
+  private def novelKeysExpr(
+      value: org.apache.spark.sql.Column,
+      schema: StructType,
+      ignore: Set[String]): org.apache.spark.sql.Column = {
+    val empty = lit(Array.empty[String])
+    def detect(path: Seq[String], st: StructType): Seq[org.apache.spark.sql.Column] = {
+      val known: Array[String] =
+        (st.fieldNames.toSet ++
+          (if (path.isEmpty) ignore + "_corrupt_record" else Set.empty)).toArray
+      val keys =
+        if (path.isEmpty) json_object_keys(value)
+        else json_object_keys(get_json_object(value, "$." + path.mkString(".")))
+      val novel0 = array_except(keys, lit(known))
+      val novel =
+        if (path.isEmpty) novel0
+        else transform(novel0, k => concat(lit(path.mkString(".") + "."), k))
+      val nested = st.fields.toSeq.collect {
+        case StructField(n, s: StructType, _, _) => detect(path :+ n, s)
+      }.flatten
+      coalesce(novel, empty) +: nested
+    }
+    detect(Nil, schema).reduce((a, b) => concat(a, b))
+  }
+
   /** Write one NDJSON changelog segment with lossless timestamps
     * (both zoned and NTZ variants — parquet-sourced ts columns are
     * often TIMESTAMP_NTZ). */
@@ -106,9 +141,20 @@ object CdcStream {
           }
         } else None
       } catch { case _: Throwable => None }
-    fromMeta.getOrElse("ckpt-" + java.util.UUID.nameUUIDFromBytes(
-      checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
+    fromMeta.getOrElse(legacyQueryIdFor(checkpointDir))
   }
+
+  /** The pre-metadata stream identity ('ckpt-' + path hash). IDENTITY
+    * MIGRATION: streams started before queryIdFor read the checkpoint
+    * metadata recorded their commits under this id. A stream resumed in
+    * place on such a table would otherwise fail the (queryId, batchId)
+    * replay check for the old commits and re-apply a crash-replayed
+    * batch — the txid gate makes that a no-op, but the documented
+    * exactly-once guard should not silently downgrade to gate-based
+    * idempotence, so the tail's replay pre-check accepts BOTH ids. */
+  def legacyQueryIdFor(checkpointDir: String): String =
+    "ckpt-" + java.util.UUID.nameUUIDFromBytes(
+      checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
 
   def start(
       spark: SparkSession,
@@ -155,8 +201,11 @@ object CdcStream {
         if (queryIdCache == null) queryIdCache = queryIdFor(checkpointDir)
         val queryId = queryIdCache
         // crash-replay pre-check: a replayed batch must not pay ANY
-        // Spark job (the summary agg alone is a full batch pass)
-        if (batchId < 0 || !table.hasBatch(batchId, queryId)) {
+        // Spark job (the summary agg alone is a full batch pass). The
+        // legacy 'ckpt-' identity is accepted too so a stream resumed
+        // in place on a pre-upgrade table still skips its old batches.
+        if (batchId < 0 || (!table.hasBatch(batchId, queryId) &&
+            !table.hasBatch(batchId, legacyQueryIdFor(checkpointDir)))) {
           def inferSchema(): StructType = {
             val s = session.read.json(batch.select("value")
               .as[String](org.apache.spark.sql.Encoders.STRING)).schema
@@ -168,16 +217,13 @@ object CdcStream {
           }
           if (schemaCache != null) {
             val t0 = System.nanoTime()
-            val knownForDetect: Array[String] =
-              (schemaCache.fieldNames.toSet ++ ignoreFields + "_corrupt_record").toArray
             def parseWith(schema: StructType): DataFrame = {
               val parseSchema = StructType(
                 schema.fields :+ StructField(CorruptCol, StringType))
               batch.select(
                   from_json(col("value"), parseSchema,
                     Map("columnNameOfCorruptRecord" -> CorruptCol)).as("e"),
-                  array_except(json_object_keys(col("value")),
-                    lit(knownForDetect)).as("__novel"),
+                  novelKeysExpr(col("value"), schema, ignoreFields).as("__novel"),
                   col("_path"))
                 .select(col("e.*"), col("__novel"),
                   regexp_extract(col("_path"), "([^/]+)$", 1).as("_origin_file"),
@@ -190,17 +236,28 @@ object CdcStream {
             try {
               // ONE pass over the batch: per-DC lineage counters, distinct
               // origin files, newest event time (ingest-lag input), novel
-              // keys and corrupt rows (drift detection) — a single job
-              // that also materializes the cache every later job reads
-              val hasTs = schemaCache.fieldNames.contains("ts")
-              def summarize(df: DataFrame) = df.groupBy("_origin_dc").agg(
-                count(lit(1)).as("n"),
-                countDistinct(col("_origin_file")).as("nf"),
-                (if (hasTs) max(col("ts").cast("timestamp")).cast("long")
-                 else lit(null).cast("long")).as("maxTs"),
-                sum(col(CorruptCol).isNotNull.cast("long")).as("nCorrupt"),
-                array_distinct(flatten(collect_set(col("__novel")))).as("novel"))
-                .collect()
+              // keys and corrupt rows (drift detection), PLUS the apply
+              // stage's bucket-prune inputs (touched-bucket set + clean
+              // row count over non-corrupt rows) — a single job that
+              // also materializes the cache every later job reads, so
+              // applyBatch skips its own pre-scan entirely. hasTs reads
+              // schemaCache at CALL time: a drift re-inference that
+              // introduces `ts` mid-batch must be visible to the second
+              // summarize or the batch records no ingest-lag reading.
+              def summarize(df: DataFrame) = {
+                val hasTs = schemaCache.fieldNames.contains("ts")
+                val okBucket = when(col(CorruptCol).isNull,
+                  table.bucketCol(col("conv_id")))
+                df.groupBy("_origin_dc").agg(
+                  count(lit(1)).as("n"),
+                  countDistinct(col("_origin_file")).as("nf"),
+                  (if (hasTs) max(col("ts").cast("timestamp")).cast("long")
+                   else lit(null).cast("long")).as("maxTs"),
+                  sum(col(CorruptCol).isNotNull.cast("long")).as("nCorrupt"),
+                  array_distinct(flatten(collect_set(col("__novel")))).as("novel"),
+                  collect_set(okBucket).as("buckets"))
+                  .collect()
+              }
               var summary = summarize(enriched)
               val novelKeys = summary.flatMap(r =>
                 Option(r.getSeq[String](5)).getOrElse(Nil)).distinct
@@ -225,12 +282,17 @@ object CdcStream {
               val nFiles = summary.map(_.getLong(2)).sum
               val maxTs = summary.flatMap(r =>
                 if (r.isNullAt(3)) None else Some(r.getLong(3)))
+              // bucket-prune inputs, already paid for by the summary job
+              val nClean = summary.map(r => r.getLong(1) - r.getLong(4)).sum
+              val touchedBuckets = summary
+                .flatMap(_.getSeq[Int](6)).distinct.toSeq
               val events = normalize(enriched
                 .where(col(CorruptCol).isNull)
                 .drop(CorruptCol, "__novel"))
               val stats = CdcApply.applyBatch(session, table, events,
                 batchId = batchId, queryId = queryId, ignoreFields = ignoreFields,
-                extraMetrics = lineage + ("originFiles" -> nFiles))
+                extraMetrics = lineage + ("originFiles" -> nFiles),
+                prunedHint = Some((touchedBuckets, nClean)))
               val ms = (System.nanoTime() - t0) / 1000000
               // ingest lag: wall-clock minus newest event time in the batch
               // (north-star metric; negative/absent ts → no lag reading)

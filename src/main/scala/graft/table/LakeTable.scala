@@ -426,10 +426,21 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     val rewrittenCounts = (carriedCounts -- dropped) ++
       newRowCounts.map { case (k, v) => k.toString -> v }
     // consolidation collapses duplicate keys: the bucket's physical
-    // count is its base plus the consolidated dir's rows
+    // count is its base plus the consolidated dir's rows. A bucket
+    // whose PREVIOUS stack has untracked row counts (deltaRowsOf =
+    // None — pre-count-tracking commits) is refused here: subtracting
+    // 0 for the old stack would permanently inflate the bucket's
+    // lineage and skew later baseRowsOf/foldRatio decisions. CdcApply
+    // never routes such buckets to consolidation (they fold), so this
+    // guards only direct commit() API callers.
     val consolidatedCounts = deltaReplaces.foldLeft(rewrittenCounts) {
       case (m, (b, (_, n))) =>
-        val oldStack = prev.flatMap(_.deltaRowsOf(b)).getOrElse(0L)
+        // deltaRowsOf is Some(0) for an absent stack, None ONLY for a
+        // non-empty untracked one — so the orElse is always a refusal
+        val oldStack = prev.flatMap(_.deltaRowsOf(b)).getOrElse(
+          throw new IllegalArgumentException(
+            s"deltaReplaces for bucket $b: previous stack has untracked " +
+              "row counts (pre-upgrade commit) — fold the bucket instead"))
         m.updated(b.toString, math.max(0L, m.getOrElse(b.toString, 0L) - oldStack) + n)
     }
     // delta rows join the bucket's physical row count (lineage stays
@@ -522,10 +533,13 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     * referenced by the newest `retainCommits` commits — readers pinned
     * to those snapshots stay consistent; older snapshots become
     * unreadable, which is the Iceberg/Delta `expire_snapshots`/VACUUM
-    * trade. Commit JSONs are never deleted (they are tiny and the
-    * reader-side type-promotion path needs historical schemas). Dirs
-    * newer than the latest commit (an in-flight writer's output) are
-    * left alone. Returns the deleted dir names. */
+    * trade. vacuum itself never deletes commit JSONs — but
+    * [[checkpointLog]] may later roll subsumed commits into a
+    * checkpoint and delete their JSONs, retaining only the schemas of
+    * data dirs still live at checkpoint time (full schema history does
+    * NOT survive a checkpointed log). Dirs newer than the latest
+    * commit (an in-flight writer's output) are left alone. Returns the
+    * deleted dir names. */
   def vacuum(retainCommits: Int = 2): Seq[String] = {
     val log = cachedCommits()
     if (log.isEmpty) return Nil

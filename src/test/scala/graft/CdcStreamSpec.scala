@@ -239,6 +239,38 @@ class CdcStreamSpec extends SparkSpec {
     assert(table.read(spark).count() == 100)
   }
 
+  test("nested drift: a novel subfield inside a struct payload column is detected") {
+    // early segments: payload column `meta` is a struct with one key;
+    // late segments add meta.b — NOT a novel top-level key and NOT a
+    // corrupt row under the cached schema (from_json would silently
+    // drop it), so only the recursive novel-key arm can catch it. On
+    // detection the column degrades via the promotion lattice to
+    // varchar (raw JSON text), so the novel subfield's DATA survives.
+    val spark0 = spark
+    import spark0.implicits._
+    val early = (1 to 40).map { i =>
+      s"""{"_txid":$i,"_op":"upsert","_etag":"e$i","conv_id":"c${i % 5}","turn_idx":${i / 5},"role":"user","text":"t$i","meta":{"a":$i}}"""
+    }
+    val late = (41 to 80).map { i =>
+      s"""{"_txid":$i,"_op":"upsert","_etag":"e$i","conv_id":"c${i % 5}","turn_idx":${i / 5},"role":"user","text":"t$i","meta":{"a":$i,"b":"nv$i"}}"""
+    }
+    val logDir = tmpDir("nested-log")
+    early.toDF("value").coalesce(1).write.mode("overwrite").text(s"$logDir/chunk0")
+    late.toDF("value").coalesce(1).write.mode("overwrite").text(s"$logDir/chunk1")
+    val table = new LakeTable(tmpDir("nested-table"), numBuckets = 8)
+    val ckpt = tmpDir("nested-ckpt")
+    CdcStream.runOnce(spark, s"$logDir/chunk0", table, ckpt)
+    val metaType0 = table.currentCommit().get.schema("meta").dataType
+    assert(metaType0.isInstanceOf[org.apache.spark.sql.types.StructType])
+    CdcStream.runOnce(spark, s"$logDir/chunk*", table, ckpt)
+    // drift detected → re-inference → struct vs wider struct conflicts
+    // promote to varchar; the subfield values are present in the text
+    val rows = table.read(spark).where(col("_txid") >= 41)
+      .select(col("meta").cast("string")).as[String].collect()
+    assert(rows.nonEmpty && rows.forall(_.contains("nv")),
+      s"novel nested values lost: ${rows.take(3).mkString("; ")}")
+  }
+
   test("schema evolution arrives mid-stream: tool column absorbed from late segments") {
     // corpus: tool is null before the evolve point → NDJSON omits the
     // key entirely → early segments genuinely lack the field
