@@ -406,7 +406,87 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       queryId: String = "",
       deltaAdds: Map[Int, (String, Long)] = Map.empty,
       deltaReplaces: Map[Int, (String, Long)] = Map.empty): Commit = {
+    // OPTIMISTIC CONCURRENCY (Iceberg-style): losing the ATOMIC_MOVE
+    // race re-reads the log and, if every interleaved commit touched a
+    // DISJOINT set of buckets, rebuilds this commit against the new
+    // head and re-publishes — disjoint-bucket writes compose because
+    // each commit carries every other bucket forward untouched. An
+    // overlapping bucket is a TRUE conflict (our data files were
+    // derived from a stale read of it) and raises
+    // ConcurrentModificationException: the caller must redo its work
+    // against the new snapshot (a crash-replayed stream batch does
+    // this for free via checkpoint replay). Writers of the same kind
+    // racing on the same version also race on the data-dir NAME
+    // (data/cV vs cVd separates fold/compaction from delta commits,
+    // but two delta writers share cVd) — the supported topology is one
+    // streaming tail plus maintenance jobs, which never collide there.
+    // intra-JVM: one attempt at a time per table handle (the base
+    // version bookkeeping is per-instance); cross-process concurrency
+    // is what the ATOMIC_MOVE + retry protocol arbitrates
+    this.synchronized {
+    var attempt = 0
+    while (true) {
+      try return commitOnce(schema, rewritten, newRowCounts, txidWatermark,
+        batchId, metrics, queryId, deltaAdds, deltaReplaces)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > 5) throw new java.util.ConcurrentModificationException(
+            s"lost the commit race $attempt times at $location — livelock?")
+          val mine: Set[Int] = rewritten.keySet ++ deltaAdds.keySet ++
+            deltaReplaces.keySet ++ newRowCounts.keySet
+          val theirs = modifiedBucketsSince(attemptBaseVersion)
+          val overlap = mine intersect theirs
+          if (overlap.nonEmpty) throw new java.util.ConcurrentModificationException(
+            s"concurrent commit modified buckets ${overlap.toSeq.sorted.take(8)
+              .mkString(",")} at $location — redo the apply against the new snapshot")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Version this attempt's state was read from (conflict-window lower
+    * bound for the optimistic retry). */
+  @volatile private var attemptBaseVersion: Long = 0L
+
+  /** Test-only race injection: runs after an attempt reads the log but
+    * before it publishes, so a spec can land a competing commit in the
+    * window deterministically (cleared after first use). */
+  private[graft] var testBeforePublish: () => Unit = () => ()
+
+  /** Buckets modified by any commit with version > `sinceVersion`:
+    * the union, over each such commit, of keys whose base dir, delta
+    * stack, or row count differs from its predecessor's. Commits no
+    * longer in the retained log (checkpoint-truncated) are treated as
+    * modifying everything — refusal is the safe answer. */
+  private def modifiedBucketsSince(sinceVersion: Long): Set[Int] = {
+    val log = cachedCommits()
+    if (log.isEmpty) return Set.empty
+    if (log.head.version > sinceVersion + 1)
+      return (log.last.buckets.keySet ++ log.last.deltas.keySet).map(_.toInt)
+    log.sliding(2).collect {
+      case Seq(a, b) if b.version > sinceVersion =>
+        val keys = a.buckets.keySet ++ b.buckets.keySet ++
+          a.deltas.keySet ++ b.deltas.keySet
+        keys.filter(k => a.buckets.get(k) != b.buckets.get(k) ||
+          a.deltas.get(k) != b.deltas.get(k) ||
+          a.rowCounts.get(k) != b.rowCounts.get(k)).map(_.toInt)
+    }.flatten.toSet
+  }
+
+  private def commitOnce(
+      schema: StructType,
+      rewritten: Map[Int, Option[String]],
+      newRowCounts: Map[Int, Long],
+      txidWatermark: Long,
+      batchId: Long,
+      metrics: Map[String, Long],
+      queryId: String,
+      deltaAdds: Map[Int, (String, Long)],
+      deltaReplaces: Map[Int, (String, Long)]): Commit = {
     val prev = currentCommit()
+    attemptBaseVersion = prev.map(_.version).getOrElse(0L)
     val carried = prev.map(_.buckets).getOrElse(Map.empty)
     val carriedCounts = prev.map(_.rowCounts).getOrElse(Map.empty)
     val carriedDeltas = prev.map(_.deltas).getOrElse(Map.empty)
@@ -455,6 +535,9 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       if (metrics.contains("compaction")) 0L
       else prev.flatMap(_.metrics.get("deletesSinceCompaction")).getOrElse(0L) +
         metrics.getOrElse("deletes", 0L)
+    val hook = testBeforePublish
+    testBeforePublish = () => ()
+    hook()
     publish(Commit(
       prev.map(_.version + 1).getOrElse(1L), batchId, txidWatermark, schema.json,
       (carried -- dropped) ++ rewritten.collect { case (k, Some(v)) => k.toString -> v },
@@ -482,9 +565,20 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     val tmp = Files.createTempFile(commitsDir, ".tmp-", ".json")
     Files.writeString(tmp, Serialization.write(c))
     val target = commitsDir.resolve(f"${c.version}%012d.json")
-    // ATOMIC_MOVE: exactly one writer wins a version; a loser throws and
-    // the caller re-reads the log and retries (single-writer here).
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    // hard-link, not rename: POSIX rename(2) — what ATOMIC_MOVE maps
+    // to — silently REPLACES an existing target, so a lost race would
+    // clobber the winner's commit instead of throwing. link(2) fails
+    // with EEXIST atomically, guaranteeing exactly one writer wins a
+    // version; the loser's FileAlreadyExistsException drives commit()'s
+    // optimistic retry (rebuild against the new head if buckets are
+    // disjoint, refuse on true conflicts).
+    try {
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); throw e
+    }
     c
   }
 

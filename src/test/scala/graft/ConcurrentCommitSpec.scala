@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc.CdcApply
+import graft.model.Corpus
+import graft.table.LakeTable
+
+/** Optimistic concurrency on the commit log: two writers racing the
+  * same version must (a) both land when their buckets are disjoint
+  * (loser rebuilds against the new head and re-publishes) and (b) fail
+  * CLEANLY on a true conflict (overlapping buckets — the loser's data
+  * files were derived from a stale snapshot), after which a redo
+  * against the new snapshot succeeds. The race window is injected
+  * deterministically via `testBeforePublish` (after the loser reads the
+  * log, before it publishes). */
+class ConcurrentCommitSpec extends SparkSpec {
+
+  /** A small table with every bucket populated. */
+  private def seeded(): (LakeTable, org.apache.spark.sql.DataFrame) = {
+    val events = Corpus.changeEvents(spark, 600, nConvs = 30, maxTurns = 6)
+    val table = new LakeTable(tmpDir("occ-table"), numBuckets = 8)
+    CdcApply.applyBatch(spark, table, events, pruneBuckets = false)
+    (table, events)
+  }
+
+  /** Write a one-row delta dir for `bucket` under the given version
+    * name and return (relPath, rowCount, the row's conv_id, txid). */
+  private def writeDelta(table: LakeTable, version: Long, bucket: Int,
+      newText: String): (String, Long, String, Long) = {
+    val tx = table.txidWatermark + 1
+    val row = table.readBuckets(spark, Seq(bucket))
+      .orderBy("conv_id", "turn_idx").limit(1)
+      .withColumn("_txid", lit(tx))
+      .withColumn("_etag", lit(s"occ-$version"))
+      .withColumn("text", lit(newText))
+    val rel = f"data/c$version%012dd/_bucket=$bucket"
+    row.coalesce(1).write.mode("overwrite")
+      .parquet(s"${table.location}/$rel")
+    (rel, 1L, row.select("conv_id").head().getString(0), tx)
+  }
+
+  test("disjoint-bucket commits: the race loser retries and BOTH land") {
+    val (table, _) = seeded()
+    val v0 = table.currentCommit().get.version
+    val schema = table.currentCommit().get.schema
+    // writer B will land v0+1 inside A's publish window; A's retry
+    // then lands v0+2 — dir names are version-aligned up front
+    val b = new LakeTable(table.location, numBuckets = 8)
+    val (relB, nB, convB, txB) = writeDelta(b, v0 + 1, bucket = 2, "from-B")
+    val (relA, nA, convA, txA) = writeDelta(table, v0 + 2, bucket = 5, "from-A")
+    table.testBeforePublish = () =>
+      b.commitDelta(schema, Map(2 -> (relB, nB)), txB, -1L, Map("writer" -> 2L))
+    table.commitDelta(schema, Map(5 -> (relA, nA)), txA, -1L, Map("writer" -> 1L))
+
+    val head = table.currentCommit().get
+    assert(head.version == v0 + 2, s"expected both commits, head=$head")
+    assert(head.deltas("2") == Seq(relB.split("/").init.mkString("/")) ||
+      head.deltas("2").head.startsWith(f"data/c${v0 + 1}%012dd"))
+    assert(head.deltas("5").head.startsWith(f"data/c${v0 + 2}%012dd"))
+    // both writers' rows are visible in the resolved read
+    val texts = table.read(spark)
+      .where(col("conv_id").isin(convA, convB) && col("_txid").isin(txA, txB))
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(texts == Set("from-A", "from-B"), s"got $texts")
+  }
+
+  test("overlapping buckets: the loser refuses cleanly; a redo lands") {
+    val (table, _) = seeded()
+    val v0 = table.currentCommit().get.version
+    val schema = table.currentCommit().get.schema
+    val b = new LakeTable(table.location, numBuckets = 8)
+    // both writers target bucket 3 — B wins the race, A must refuse
+    val (relB, nB, _, txB) = writeDelta(b, v0 + 1, bucket = 3, "winner")
+    val (relA, nA, _, txA) = writeDelta(table, v0 + 2, bucket = 3, "stale")
+    table.testBeforePublish = () =>
+      b.commitDelta(schema, Map(3 -> (relB, nB)), txB, -1L, Map.empty)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      table.commitDelta(schema, Map(3 -> (relA, nA)), txA, -1L, Map.empty)
+    }
+    assert(e.getMessage.contains("buckets 3"), e.getMessage)
+    assert(table.currentCommit().get.version == v0 + 1) // only B landed
+    // redo against the new snapshot (fresh read → fresh delta) lands
+    val (relA2, nA2, convA2, txA2) = writeDelta(table, v0 + 2, bucket = 3, "redo")
+    table.commitDelta(schema, Map(3 -> (relA2, nA2)), txA2, -1L, Map.empty)
+    assert(table.currentCommit().get.version == v0 + 2)
+    val got = table.read(spark)
+      .where(col("conv_id") === convA2 && col("_txid") === txA2)
+      .select("text").head().getString(0)
+    assert(got == "redo")
+  }
+
+  test("compaction racing the streaming tail's delta commit conflicts cleanly") {
+    val (table, events) = seeded()
+    val schema = table.currentCommit().get.schema
+    val compactor = new LakeTable(table.location, numBuckets = 8)
+    val v0 = table.currentCommit().get.version
+    // tail prepares a delta for bucket 1; compaction (rewrites EVERY
+    // bucket) lands first — the tail's commit must refuse, because its
+    // gate read pre-compaction state of a bucket compaction rewrote
+    val (relA, nA, _, txA) = writeDelta(table, v0 + 2, bucket = 1, "tail")
+    table.testBeforePublish = () =>
+      compactor.compact(spark, tombstoneHorizon = compactor.txidWatermark)
+    intercept[java.util.ConcurrentModificationException] {
+      table.commitDelta(schema, Map(1 -> (relA, nA)), txA, -1L, Map.empty)
+    }
+    // the compaction snapshot is intact and fully readable
+    val after = table.currentCommit().get
+    assert(after.metrics.contains("compaction"))
+    assertSameRows(
+      table.read(spark).select("conv_id", "turn_idx", "text"),
+      Corpus.oracleFinalState(events).select("conv_id", "turn_idx", "text"))
+  }
+}
