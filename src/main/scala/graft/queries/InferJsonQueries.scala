@@ -25,21 +25,24 @@ object InferJsonQueries {
         // corpus, but an adversarial unbounded key space must not
         // become a driver-side OOM: keep the most-populated fields
         val maxFields = 100000
-        val states = kv.groupBy("key")
+        // the pg-type projection runs DISTRIBUTED (typed Dataset map
+        // over the per-field typestates — one tiny row per field, no
+        // driver round-trip): the lattice's final sizing rule is plain
+        // Scala, so mapping the Dataset beats re-expressing it as a
+        // column tree and beats the previous collect→toDF hop
+        kv.groupBy("key")
           .agg(graft.types.TypeStateAgg.typestate(col("value")).as("st"),
             count(lit(1)).as("__n"))
           .orderBy(col("__n").desc, col("key"))
           .limit(maxFields)
-          .drop("__n")
-          .collect()
-        states.map { r =>
-          val st = r.getStruct(1)
-          val ts = graft.types.TypeState(st.getString(0), st.getString(1),
-            st.getInt(2), st.getInt(3), st.getLong(4), st.getLong(5),
-            st.getInt(6), st.getInt(7))
-          (r.getString(0), TypeInference.toPgType(r.getString(0), ts),
-            ts.tpe, ts.nMin, ts.nMax)
-        }.toSeq.toDF("field", "pg_type", "base_type", "n_min", "n_max")
+          .select(col("key"), col("st.*"))
+          .as[(String, String, String, Int, Int, Long, Long, Int, Int)]
+          .map { case (k, status, tpe, size, arrC, nMin, nMax, sig, dec) =>
+            val ts = graft.types.TypeState(
+              status, tpe, size, arrC, nMin, nMax, sig, dec)
+            (k, TypeInference.toPgType(k, ts), ts.tpe, ts.nMin, ts.nMax)
+          }
+          .toDF("field", "pg_type", "base_type", "n_min", "n_max")
       },
       // the oracle re-derives the expected inference for this corpus'
       // single numeric field: observed bounds + the outputpgtypes
