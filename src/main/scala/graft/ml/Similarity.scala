@@ -48,13 +48,12 @@ object Similarity {
   /** MinHash signature: each shingle is string-hashed ONCE, then the k
     * independent hash functions are derived by re-hashing the base long
     * (universal-hashing trick) — one pass over the shingle array, k
-    * cheap long-hashes per shingle instead of k string-hashes. */
+    * cheap long-hashes per shingle instead of k string-hashes. Runs as
+    * the native codegen'd [[graft.functions.MinHashSigExpr]] (the HOF
+    * formulation evaluated interpreted at ~|shingles|×k tree-walks per
+    * row); hash values are bit-identical to the previous column form. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    aggregate(
-      transform(shingleCol, s => xxhash64(s)),
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
-        (m, j) => least(m, xxhash64(j, h))))
+    graft.functions.MinHashSigExpr.minhashSig(shingleCol, k)
 
   /** Estimated Jaccard from two equal-length MinHash signatures. */
   def signatureJaccard(a: Column, b: Column): Column =

@@ -208,6 +208,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("point-key read skips row groups (sorted files + min/max pushdown)") {
+    // table files are written sorted by (conv_id, turn_idx) inside each
+    // task precisely so point/gate reads can skip row groups on footer
+    // min/max stats. Force many small row groups, then A/B the parquet
+    // scan's output rows with filter pushdown off vs on: the pushed
+    // point predicate must eliminate most row groups BEFORE they are
+    // materialized (the vectorized reader does no row-level filtering,
+    // so scan numOutputRows ≈ rows of surviving row groups).
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hconf.get("parquet.block.size"))
+    hconf.setInt("parquet.block.size", 32 * 1024)
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val table = new LakeTable(tmpDir("rowskip"), numBuckets = 1)
+      CdcApply.applyBatch(spark, table,
+        Corpus.changeEvents(spark, 40000, nConvs = 2000, maxTurns = 10),
+        pruneBuckets = false)
+      val key = table.read(spark).select("conv_id").head().getString(0)
+      def scannedRows(pushdown: Boolean): (Long, String) = {
+        spark.conf.set("spark.sql.parquet.filterPushdown", pushdown)
+        val df = table.read(spark).where(col("conv_id") === key)
+        df.collect()
+        val scans = df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+        (scans.map(_.metrics("numOutputRows").value).sum,
+          df.queryExecution.executedPlan.toString)
+      }
+      val (without, _) = scannedRows(pushdown = false)
+      val (withPd, plan) = scannedRows(pushdown = true)
+      assert(plan.contains("PushedFilters") && plan.contains("EqualTo(conv_id"),
+        s"point predicate not pushed:\n${plan.take(600)}")
+      assert(withPd > 0, "scan produced nothing")
+      assert(withPd * 3 <= without,
+        s"row groups not skipped: scanned $withPd of $without physical rows")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.conf.set("spark.sql.parquet.filterPushdown", true)
+      oldBlock match {
+        case Some(v) => hconf.set("parquet.block.size", v)
+        case None => hconf.unset("parquet.block.size")
+      }
+    }
+  }
+
   test("text-analysis queries contain no UDFs (pure codegen expressions)") {
     Seq("q22_text_stats", "q23_quality_score", "q25_fingerprint").foreach { n =>
       val p = planOf(n)
