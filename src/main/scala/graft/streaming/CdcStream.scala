@@ -73,7 +73,10 @@ object CdcStream {
     * payloads would go unnoticed until unrelated drift forced
     * re-inference. Flat schemas (the transcript contract) contribute
     * zero extra work — the nested arms exist only when the cached
-    * schema has struct fields. */
+    * schema has struct fields. Known limit: structs nested inside
+    * ARRAY-typed fields are not walked (would need `$.f[*]` explosion
+    * per row); drift there still surfaces through the corrupt-record
+    * arm when a value stops fitting its cached element type. */
   private def novelKeysExpr(
       value: org.apache.spark.sql.Column,
       schema: StructType,

@@ -5,11 +5,14 @@ set -u
 EVENTS=${1:-16000000}
 BATCHES=${2:-2}
 REPS=${3:-3}
-OUT=/root/repo/target/scaling_results.jsonl
+# override the two pinned configs (cpus cpumask heap) via CFGS, e.g.
+#   CFGS="2 0-1 8g|8 0-7 16g" tools/scaling_run.sh
+CFGS=${CFGS:-"4 0-3 12g|16 0-15 24g"}
+OUT=${SCALING_OUT:-/root/repo/target/scaling_results.jsonl}
 : > "$OUT"
 cd /root/repo
 for i in $(seq 1 "$REPS"); do
-  for CFG in "4 0-3 12g" "16 0-15 24g"; do
+  echo "$CFGS" | tr '|' '\n' | while read -r CFG; do
     set -- $CFG
     CPUS=$1; MASK=$2; MEM=$3
     rm -rf /root/repo/target/scaling-* /dev/shm/graft-spark-local
@@ -19,10 +22,10 @@ for i in $(seq 1 "$REPS"); do
     echo "done rep=$i cpus=$CPUS" >&2
   done
 done
-python3 - <<'EOF'
-import json
+SCALING_OUT="$OUT" python3 - <<'EOF'
+import json, os
 import statistics as st
-rows = [json.loads(l) for l in open('/root/repo/target/scaling_results.jsonl')]
+rows = [json.loads(l) for l in open(os.environ['SCALING_OUT'])]
 wall, cpu = {}, {}
 for r in rows:
     wall.setdefault(r['cpus'], []).append(r['events_per_sec'])
