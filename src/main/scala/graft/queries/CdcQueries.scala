@@ -147,15 +147,29 @@ object CdcQueries {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val logDir = scratch("winlog-")
-        // explicit ts order: segment files must arrive watermark-
+        // explicit ts order: segments must arrive watermark-
         // monotonically for the closed-window oracle to model the
-        // stream's eviction (don't lean on the generator happening to
-        // emit sorted rows — orderBy + coalesce keeps parts ts-ranged
-        // in filename order, which is FileStreamSource's tie order)
-        graft.streaming.CdcStream.writeSegment(
-          t(s, d, "events").select(col("user_id"), col("ts")).orderBy("ts"),
-          logDir, parts = 3)
-        val parsed = s.readStream.option("maxFilesPerTrigger", 1).text(logDir)
+        // stream's eviction. Three ts-RANGED segment dirs written in
+        // ts order (mod-time order = the file source's replay order);
+        // rows stay unordered WITHIN a segment, so cross-batch
+        // eviction is genuinely exercised. (The previous orderBy +
+        // coalesce(parts) form silently wrote ONE file once AQE
+        // coalesced the sort to one partition — a single-batch stream
+        // that never tested eviction.)
+        val ev = t(s, d, "events").select(col("user_id"), col("ts"))
+        // parquet ts is TIMESTAMP_NTZ, which cannot cast to long
+        // directly — hop through TIMESTAMP (UTC session)
+        val tsl = col("ts").cast("timestamp").cast("long")
+        val bounds = ev.where(col("ts").isNotNull)
+          .withColumn("tsl", tsl).stat.approxQuantile("tsl", Array(0.34, 0.67), 0.0)
+        Seq(
+          tsl.isNull || tsl <= bounds(0),
+          tsl > bounds(0) && tsl <= bounds(1),
+          tsl > bounds(1)).zipWithIndex.foreach { case (cond, i) =>
+          graft.streaming.CdcStream.writeSegment(ev.where(cond), s"$logDir/seg$i")
+        }
+        val parsed = s.readStream.option("maxFilesPerTrigger", 1)
+          .text(s"$logDir/seg*")
           .select(
             get_json_object(col("value"), "$.user_id").cast("bigint").as("user_id"),
             get_json_object(col("value"), "$.ts").cast("timestamp").as("ts"))

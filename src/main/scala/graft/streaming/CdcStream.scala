@@ -103,12 +103,23 @@ object CdcStream {
 
   /** Write one NDJSON changelog segment with lossless timestamps
     * (both zoned and NTZ variants — parquet-sourced ts columns are
-    * often TIMESTAMP_NTZ). */
-  def writeSegment(df: DataFrame, path: String, parts: Int = 1): Unit =
-    df.coalesce(parts).write.mode("overwrite")
+    * often TIMESTAMP_NTZ). Guarantees `parts` files: coalesce can only
+    * REDUCE partitions, so a 1-partition frame asked for 4 parts used
+    * to silently produce ONE file (and a downstream tail reading it as
+    * one micro-batch regardless of maxFilesPerTrigger). Callers that
+    * need ts-RANGED parts (q49's watermark-monotonic arrival) must
+    * pass an orderBy'd frame, which always has ≥ parts partitions and
+    * so takes the order-preserving coalesce path; the repartition
+    * fallback shuffles and keeps no order. */
+  def writeSegment(df: DataFrame, path: String, parts: Int = 1): Unit = {
+    val arranged =
+      if (parts <= 1 || df.rdd.getNumPartitions >= parts) df.coalesce(parts)
+      else df.repartition(parts)
+    arranged.write.mode("overwrite")
       .option("timestampFormat", TimestampFormat)
       .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
       .json(path)
+  }
 
   /** Cast inferred envelope/known columns to their contract types;
     * leave any novel payload columns as inferred. */
@@ -182,7 +193,15 @@ object CdcStream {
       } else changelogDir.stripSuffix("/")
       prefix.substring(prefix.lastIndexOf('/') + 1)
     }
-    val dcPattern = ".*/" + java.util.regex.Pattern.quote(rootBase) + "/([^/]+)/.*"
+    // dc = first path component after the LAST occurrence of
+    // "/<rootBase>/" — computed with substring_index, NOT a regex: the
+    // previous ".*/<root>/([^/]+)/.*" pattern backtracked its leading
+    // .* across every row's path (measured ~30µs/row, 3s of a 100k-row
+    // micro-batch's 4s summary job, burned again on EVERY batch of the
+    // stream's lifetime); the substring form is linear and equivalent
+    // (greedy .* ≡ last occurrence; the trailing /.* ≡ "tail has more
+    // path"; [^/]+ ≡ non-empty component).
+    val dcMarker = "/" + rootBase + "/"
 
     // per-stream mutable state: the cached event schema (re-inferred
     // only on detected drift) and the resolved stream identity
@@ -209,7 +228,13 @@ object CdcStream {
         // in place on a pre-upgrade table still skips its old batches.
         if (batchId < 0 || (!table.hasBatch(batchId, queryId) &&
             !table.hasBatch(batchId, legacyQueryIdFor(checkpointDir)))) {
-          def inferSchema(): StructType = {
+          val dbg = sys.env.contains("GRAFT_STREAM_DEBUG")
+          def dtime[T](label: String)(f: => T): T =
+            if (!dbg) f else {
+              val t0 = System.nanoTime(); val r = f
+              println(f"STREAMDBG $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+            }
+          def inferSchema(): StructType = dtime("inferSchema") {
             val s = session.read.json(batch.select("value")
               .as[String](org.apache.spark.sql.Encoders.STRING)).schema
             StructType(s.fields.filterNot(_.name == "_corrupt_record"))
@@ -229,10 +254,13 @@ object CdcStream {
                   novelKeysExpr(col("value"), schema, ignoreFields).as("__novel"),
                   col("_path"))
                 .select(col("e.*"), col("__novel"),
-                  regexp_extract(col("_path"), "([^/]+)$", 1).as("_origin_file"),
-                  coalesce(nullif(
-                    regexp_extract(col("_path"), dcPattern, 1), lit("")),
-                    lit("default")).as("_origin_dc"))
+                  substring_index(col("_path"), "/", -1).as("_origin_file"), {
+                    val tail = substring_index(col("_path"), dcMarker, -1)
+                    val dc = substring_index(tail, "/", 1)
+                    when(tail =!= col("_path") && length(dc) > 0 &&
+                        instr(tail, "/") > 0, dc)
+                      .otherwise(lit("default")).as("_origin_dc")
+                  })
             }
             var enriched = parseWith(schemaCache)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -261,7 +289,9 @@ object CdcStream {
                   collect_set(okBucket).as("buckets"))
                   .collect()
               }
-              var summary = summarize(enriched)
+              if (dbg) println("STREAMDBG plan:\n" +
+                enriched.queryExecution.executedPlan.toString.take(4000))
+              var summary = dtime("summarize")(summarize(enriched))
               val novelKeys = summary.flatMap(r =>
                 Option(r.getSeq[String](5)).getOrElse(Nil)).distinct
               val nCorrupt = summary.map(_.getLong(4)).sum
@@ -287,15 +317,19 @@ object CdcStream {
                 if (r.isNullAt(3)) None else Some(r.getLong(3)))
               // bucket-prune inputs, already paid for by the summary job
               val nClean = summary.map(r => r.getLong(1) - r.getLong(4)).sum
+              if (dbg) println(s"STREAMDBG batch=$batchId rows=" +
+                summary.map(_.getLong(1)).sum + s" clean=$nClean parts=" +
+                enriched.rdd.getNumPartitions)
               val touchedBuckets = summary
                 .flatMap(_.getSeq[Int](6)).distinct.toSeq
               val events = normalize(enriched
                 .where(col(CorruptCol).isNull)
                 .drop(CorruptCol, "__novel"))
-              val stats = CdcApply.applyBatch(session, table, events,
-                batchId = batchId, queryId = queryId, ignoreFields = ignoreFields,
-                extraMetrics = lineage + ("originFiles" -> nFiles),
-                prunedHint = Some((touchedBuckets, nClean)))
+              val stats = dtime("applyBatch")(
+                CdcApply.applyBatch(session, table, events,
+                  batchId = batchId, queryId = queryId, ignoreFields = ignoreFields,
+                  extraMetrics = lineage + ("originFiles" -> nFiles),
+                  prunedHint = Some((touchedBuckets, nClean))))
               val ms = (System.nanoTime() - t0) / 1000000
               // ingest lag: wall-clock minus newest event time in the batch
               // (north-star metric; negative/absent ts → no lag reading)

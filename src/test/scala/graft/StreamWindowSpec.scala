@@ -20,11 +20,31 @@ class StreamWindowSpec extends SparkSpec {
   test("watermarked tumbling-window counts equal the batch windows after close") {
     val events = Corpus.changeEvents(spark, 2000, nConvs = 20, maxTurns = 8)
     val logDir = tmpDir("win-log")
-    CdcStream.writeSegment(Corpus.shuffled(events), logDir, parts = 3)
+    // three ts-RANGED segments, shuffled WITHIN each range: arrival is
+    // watermark-monotone across batches (the "equal to batch once
+    // closed" contract needs no row to arrive after its window
+    // closed), while within-batch disorder still exercises the agg.
+    // Segment dirs are written in ts order so the file source's
+    // mod-time ordering replays them in ts order. (A fully shuffled
+    // multi-batch stream WOULD late-drop rows — that lossy path is
+    // exactly what watermarks are for and not what this spec pins.
+    // Until round 4, writeSegment's coalesce silently collapsed this
+    // corpus to ONE file, so the old shuffled form ran as a single
+    // batch and never exercised cross-batch eviction at all.)
+    val bounds = events.withColumn("tsl", col("ts").cast("long"))
+      .stat.approxQuantile("tsl", Array(0.34, 0.67), 0.0)
+    val tsl = col("ts").cast("long")
+    Seq(
+      tsl <= bounds(0),
+      tsl > bounds(0) && tsl <= bounds(1),
+      tsl > bounds(1)).zipWithIndex.foreach { case (cond, i) =>
+      CdcStream.writeSegment(
+        Corpus.shuffled(events.where(cond)), s"$logDir/seg$i")
+    }
 
     val lines = spark.readStream
       .option("maxFilesPerTrigger", 1)
-      .text(logDir)
+      .text(s"$logDir/seg*")
     val parsed = lines.select(
         get_json_object(col("value"), "$.conv_id").as("conv_id"),
         get_json_object(col("value"), "$.ts").cast("timestamp").as("ts"))
