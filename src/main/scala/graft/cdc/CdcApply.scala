@@ -482,12 +482,66 @@ object CdcApply {
           (n, nDel, eff.getLong(2), adds, replaces)
         } finally effective.unpersist()
       } else {
-        // 4b. FULL-OUTER MERGE (bulk loads/replays, batch ~ table size):
-        // per key the winner takes effect only if its _txid exceeds the
-        // stored row's. One target shuffle total — the sorted
-        // merge-apply stage.
-        val joined = target.alias("t")
-          .join(winnerRows.alias("w"), Model.MergeKeys.toSeq, "full_outer")
+        // 4b. CO-PARTITIONED FULL-OUTER MERGE (bulk loads/replays,
+        // batch ~ table size): per key the winner takes effect only if
+        // its _txid exceeds the stored row's. Both sides are
+        // pre-partitioned on (__bkt, __slt) — two functionally-
+        // dependent derivatives of the merge keys, added as extra join
+        // keys (a semantic no-op) — so the full-outer sort-merge join
+        // needs NO exchange of its own, and its output arrives at the
+        // writer ALREADY clustered by bucket: each bucket spans at most
+        // saltBuckets reducers, bounding files-per-bucket exactly as
+        // the old salted rewrite did. The previous form paid THREE full
+        // shuffles (events for the winner groupBy, target for the
+        // join, and the ENTIRE merged table again for the salted
+        // output repartition); this form pays exactly TWO — events and
+        // target — and the merged table streams from the join straight
+        // to the writer. At 100 TB the removed exchange is one full
+        // copy of the table over the network per bulk apply.
+        //
+        // __slt spreads every bucket (and so every hot conversation's
+        // bucket) over saltBuckets reducers — that explicit skew
+        // mitigation is what makes it safe to relax Spark's all-keys
+        // co-partition requirement for this one write (the conf exists
+        // precisely because subset co-partitioning trades AQE skew
+        // splitting away; set + restored around the action below).
+        //
+        // The tag expressions hash the keys AFTER casting to the
+        // stored schema types: xxhash64 is type-directed (int 5 and
+        // long 5 hash differently), so tagging a pre-cast events side
+        // would put matching keys in different (bkt, slt) groups and
+        // the join would silently duplicate instead of merge.
+        val convKey = col("conv_id").cast(schema("conv_id").dataType)
+        val turnKey = col("turn_idx").cast(schema("turn_idx").dataType)
+        val bktTag = table.bucketCol(convKey)
+        val sltTag = pmod(xxhash64(convKey, turnKey), lit(saltBuckets.toLong))
+        val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+        // events side: ONE exchange on (bkt, slt); the winner groupBy
+        // keeps that partitioning (subset-of-group-keys distribution)
+        val evTagged = events
+          .withColumn("__bkt", bktTag).withColumn("__slt", sltTag)
+          .repartition(shufflePartitions, col("__bkt"), col("__slt"))
+        val bulkWinners = evTagged
+          .groupBy((Seq(col("__bkt"), col("__slt")) ++ Model.MergeKeys.map(col)): _*)
+          .agg(max_by(
+            struct(eventCols.map(col): _*),
+            struct(col("_txid"), coalesce(col("_etag"), lit("")))).as("__w"))
+          .select(col("__bkt"), col("__slt"), col("__w.*"))
+        val bulkWinnerRows = bulkWinners.select((schema.fields.map { f =>
+          if (f.name == "_deleted") isDel.as("_deleted")
+          else if (keyCols(f.name) || f.name == "_txid" || f.name == "_etag")
+            col(f.name).cast(f.dataType).as(f.name)
+          else if (bulkWinners.columns.contains(f.name))
+            when(isDel, lit(null)).otherwise(col(f.name)).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq :+ col("__bkt") :+ col("__slt")): _*)
+        // target side: its ONE exchange, on the same keys
+        val tgtTagged = target
+          .withColumn("__bkt", bktTag).withColumn("__slt", sltTag)
+          .repartition(shufflePartitions, col("__bkt"), col("__slt"))
+        val joined = tgtTagged.alias("t")
+          .join(bulkWinnerRows.alias("w"),
+            Seq("__bkt", "__slt") ++ Model.MergeKeys, "full_outer")
         val takeWinner = col("w._txid").isNotNull &&
           (col("t._txid").isNull || col("w._txid") > col("t._txid"))
         val mergedCols = schema.fields.map { f =>
@@ -497,6 +551,7 @@ object CdcApply {
         }
         val obs = new org.apache.spark.sql.Observation(s"apply-$version")
         val merged = joined.select((mergedCols.toSeq :+
+            col("__bkt").as("_bucket") :+
             takeWinner.as("__take") :+
             (takeWinner && coalesce(col("w._deleted"), lit(false))).as("__takeDel") :+
             when(takeWinner, col("w._txid")).as("__takeTx")): _*)
@@ -505,15 +560,19 @@ object CdcApply {
             sum(col("__takeDel").cast("long")).as("nDel"),
             max(col("__takeTx")).as("maxTx"))
           .drop("__take", "__takeDel", "__takeTx")
-          .withColumn("_bucket", bucketOf)
-        // salt: hot conv_ids spread across tasks inside their bucket.
-        // Explicit numPartitions marks the exchange user-specified so
-        // AQE cannot coalesce the salt groups back into one task.
-        val shufflePartitions = spark.sessionState.conf.numShufflePartitions
-        val salted = merged.repartition(shufflePartitions, col("_bucket"),
-          pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets.toLong)))
+        val sorted = merged
           .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
-        salted.write.mode("overwrite").partitionBy("_bucket").parquet(outDir.toString)
+        // subset co-partitioning must be allowed at PLANNING time of
+        // this one action; restore the caller's setting right after
+        val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
+        val coPartPrev = spark.conf.getOption(coPartKey)
+        spark.conf.set(coPartKey, "false")
+        try sorted.write.mode("overwrite").partitionBy("_bucket")
+          .parquet(outDir.toString)
+        finally coPartPrev match {
+          case Some(v) => spark.conf.set(coPartKey, v)
+          case None => spark.conf.unset(coPartKey)
+        }
 
         val metrics0 = obs.get
         val n = Option(metrics0("nEff")).map(_.asInstanceOf[Long]).getOrElse(0L)

@@ -254,6 +254,82 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bulk merge write shuffles exactly twice — the merged table is never re-shuffled") {
+    // The full-outer bulk path pre-partitions BOTH sides on the
+    // functionally-dependent (__bkt, __slt) join keys, so the merge
+    // join is subset-co-partitioned and its output flows to the
+    // partitionBy writer with NO third exchange. Three exchanges here
+    // means the old shape is back: the entire merged table crossing
+    // the network a second time per bulk apply — at 100 TB, a full
+    // extra copy of the table per load.
+    val table = new LakeTable(tmpDir("planbulk"), numBuckets = 8)
+    val ev = Corpus.changeEvents(spark, 6000, nConvs = 60, maxTurns = 8)
+    // first bulk load seeds the table; the SECOND bulk apply is the
+    // interesting plan (non-empty target side)
+    CdcApply.applyBatch(spark, table, ev.where(col("_txid") <= 3000),
+      pruneBuckets = false)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val s = CdcApply.applyBatch(spark, table, ev.where(col("_txid") > 3000),
+        pruneBuckets = false)
+      assert(s.applied > 0)
+      import scala.jdk.CollectionConverters._
+      def writePlans = plans.iterator().asScala.toSeq.filter { qe =>
+        val p = qe.executedPlan.toString
+        p.contains("WriteFiles") || p.contains("InsertIntoHadoopFsRelation")
+      }
+      var tries = 0
+      while (writePlans.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(writePlans.nonEmpty, "no write-job plan captured")
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+      // plain .collect stops at AdaptiveSparkPlanExec and every
+      // QueryStageExec (incl. Spark 4's ResultQueryStage): their inner
+      // plans are internal state, not children — expand explicitly
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case s: QueryStageExec => flatten(s.plan)
+        case r: ReusedExchangeExec => flatten(r.child)
+        case other => other.children.flatMap(flatten)
+      })
+      writePlans.foreach { qe =>
+        val nodes = flatten(qe.executedPlan).distinct
+        val exchanges = nodes.collect { case e: ShuffleExchangeExec => e }
+        assert(exchanges.size == 2,
+          s"bulk merge write has ${exchanges.size} exchanges (want 2 — " +
+            s"events + target, none above the join):\n${qe.executedPlan}")
+        // and the join must sit ABOVE both exchanges (merged output
+        // unshuffled): no exchange may contain a sort-merge join
+        val shuffledJoin = exchanges.exists(
+          e => flatten(e).exists(_.nodeName.contains("SortMergeJoin")))
+        assert(!shuffledJoin,
+          s"merged join output re-shuffled:\n${qe.executedPlan}")
+      }
+      // files-per-bucket stays bounded by the salt width
+      val dataDir = java.nio.file.Paths.get(table.location, "data")
+      val bucketDirs = java.nio.file.Files.list(dataDir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("c")).flatMap { c =>
+          java.nio.file.Files.list(c).iterator().asScala
+            .filter(_.getFileName.toString.startsWith("_bucket="))
+        }.toSeq
+      bucketDirs.foreach { b =>
+        val nFiles = java.nio.file.Files.list(b).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+        assert(nFiles <= CdcApply.SaltBuckets,
+          s"bucket dir $b has $nFiles files (> salt width ${CdcApply.SaltBuckets})")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("text-analysis queries contain no UDFs (pure codegen expressions)") {
     Seq("q22_text_stats", "q23_quality_score", "q25_fingerprint").foreach { n =>
       val p = planOf(n)
