@@ -231,17 +231,28 @@ object CdcApply {
     }
 
     // 2. latest event wins per key within the batch (§2.8 semantics) as
-    // a partial-aggregable max_by instead of a row_number window: the
-    // map side collapses duplicate keys BEFORE the shuffle and no full
-    // sort is needed — the scalable form of `sort -r | uniq`. _etag is
-    // the tiebreak for duplicated txids (identical payloads).
+    // a partial-aggregable max_by instead of a row_number window — the
+    // scalable form of `sort -r | uniq`. _etag is the tiebreak for
+    // duplicated txids (identical payloads). The batch is hashed ONCE,
+    // by bucket (cast-typed key — xxhash64 is type-directed): the
+    // winner groupBy keeps that layout (bucket is a subset of the
+    // group keys) and so does the broadcast gate below, so the
+    // steady-state delta write consumes winners ALREADY clustered by
+    // bucket and needs no exchange of its own — a micro-batch pays
+    // exactly one O(batch) shuffle end to end (was two: the groupBy
+    // hash plus the writer's by-bucket repartition, one extra stage of
+    // scheduling latency on every batch of the stream's lifetime).
     val eventCols = events.columns.toSeq
+    val bktTyped = table.bucketCol(col("conv_id").cast(schema("conv_id").dataType))
+    val stdShufflePartitions = spark.sessionState.conf.numShufflePartitions
     val winners = events
-      .groupBy(Model.MergeKeys.map(col): _*)
+      .withColumn("__bkt", bktTyped)
+      .repartition(stdShufflePartitions, col("__bkt"))
+      .groupBy((col("__bkt") +: Model.MergeKeys.map(col)): _*)
       .agg(max_by(
         struct(eventCols.map(col): _*),
         struct(col("_txid"), coalesce(col("_etag"), lit("")))).as("__w"))
-      .select(col("__w.*"))
+      .select(col("__bkt"), col("__w.*"))
 
       // 3. align winners to the stored schema; deletes become tombstones
       // with payload nulled (the per-key version gate needs them so a
@@ -255,7 +266,7 @@ object CdcApply {
         else if (winners.columns.contains(f.name))
           when(isDel, lit(null)).otherwise(col(f.name)).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
-      }.toSeq: _*)
+      }.toSeq :+ col("__bkt"): _*)
 
       val version = table.nextVersion
       val rel = f"data/c$version%012d"
@@ -344,20 +355,22 @@ object CdcApply {
           // An all-stale batch leaves an empty dir that is deleted again
           // (no commit — idempotent no-op).
           val obs = new org.apache.spark.sql.Observation(s"delta-$version")
-          val shufflePartitions = spark.sessionState.conf.numShufflePartitions
           val observed = effectivePlan
             .observe(obs,
               count(lit(1)).as("n"),
               coalesce(sum(col("_deleted").cast("long")), lit(0L)).as("nDel"),
               max(col("_txid")).as("maxTx"))
-            .withColumn("_bucket", bucketOf)
-          // tiny batches: a lone writer task beats a shuffle's stage
-          // overhead; real batches: the one-task write was ~40% of
-          // steady wall, so spread the write across the cluster
+            .withColumn("_bucket", col("__bkt"))
+            .drop("__bkt")
+          // winners arrive already hashed by bucket (the batch's one
+          // shuffle, upstream of the winner groupBy): each bucket lands
+          // whole in one task, so the dir holds one file per bucket
+          // written in parallel with NO exchange here. Tiny batches: a
+          // lone writer task beats per-task overhead
           val arranged =
             if (batchCount >= 0 && batchCount < ParallelDeltaWriteMinEvents)
               observed.coalesce(1)
-            else observed.repartition(shufflePartitions, col("_bucket"))
+            else observed
           arranged
             .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
             .write.mode("overwrite").partitionBy("_bucket")
@@ -398,8 +411,10 @@ object CdcApply {
             skippedReplay = false, maxTx, touched.length)
         }
         // fold/consolidate path: effective is reused (stats, delta
-        // split, anti-join keys, fold union) — persist it once
-        val effective = effectivePlan
+        // split, anti-join keys, fold union) — persist it once. The
+        // steady path's __bkt tag is dropped here: these branches
+        // re-derive buckets from bucketOf where needed
+        val effective = effectivePlan.drop("__bkt")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val eff = effective.agg(count(lit(1)).as("n"),
@@ -458,23 +473,33 @@ object CdcApply {
           val nDel = eff.getLong(1)
           // 4a-ii. broadcast FOLD: rewrite ONLY the buckets whose stacks
           // earned it — their bases + delta stacks + this batch's
-          // winners become fresh bases and their stacks clear. The
-          // anti-join side never shuffles; the one exchange is the
-          // salted output repartition that gives each bucket clean,
-          // skew-spread files. Fold cost is proportional to the folded
-          // (hot, churn-heavy) buckets, never the table.
+          // winners become fresh bases and their stacks clear. The old
+          // form shuffled the folded buckets' contents TWICE (the
+          // merge-on-read resolve by key, then the salted output
+          // repartition); now the resolve's one shuffle is keyed by
+          // bucket (LakeTable.readCommit), so the anti-join survivor
+          // rows arrive bucket-clustered and stream straight to the
+          // writer — only the O(batch) winner side is hashed here.
+          // Per-bucket output file counts stay bounded (a bucket's
+          // resolved rows occupy one reducer; un-delta'd buckets are
+          // file-clustered from the scan). Fold cost is proportional
+          // to the folded (hot, churn-heavy) buckets, never the table
+          // — and the table-sized half of it now crosses the network
+          // once, not twice.
           if (foldBuckets.nonEmpty) {
             val effKeys = effective.select(mergeKeys: _*)
             val effFold =
               if (deltaBuckets.isEmpty && consBuckets.isEmpty) effective
               else effective.where(bucketOf.isin(foldBuckets.map(Integer.valueOf): _*))
-            val merged = target
+            val baseSide = target
               .join(broadcast(effKeys), Model.MergeKeys.toSeq, "left_anti")
-              .unionByName(effFold.coalesce(1))
               .withColumn("_bucket", bucketOf)
             val shufflePartitions = spark.sessionState.conf.numShufflePartitions
-            merged.repartition(shufflePartitions, col("_bucket"),
-                pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets.toLong)))
+            val winSide = effFold.withColumn("_bucket", bucketOf)
+              .repartition(
+                math.max(1, math.min(shufflePartitions, foldBuckets.length)),
+                col("_bucket"))
+            baseSide.unionByName(winSide)
               .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
               .write.mode("overwrite").partitionBy("_bucket")
               .parquet(outDir.toString)

@@ -367,15 +367,22 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     // MERGE-ON-READ resolve: a key may appear in the base and in any
     // number of delta files — the highest _txid wins (etag tiebreak for
     // duplicated txids). Skipped entirely when no deltas exist. A
-    // partial-aggregable max_by (hash agg, map-side combine) instead of
-    // a row_number window: no sort, and the map side already collapses
-    // most duplicates since base and delta rows of a key colocate per
-    // scan split only rarely — one hash shuffle total.
+    // max_by instead of a row_number window, and the ONE hash shuffle
+    // is keyed by BUCKET (a function of conv_id) with the merge keys
+    // appended only as grouping columns: same shuffle volume (map-side
+    // combine almost never fired on the key-hashed form — base and
+    // delta rows of a key colocate per scan split only rarely), but
+    // the resolved rows come out CLUSTERED BY BUCKET, so a fold can
+    // stream them straight to its bucket-partitioned writer with no
+    // further exchange and a bounded file count per bucket.
     if (deltaDf.isEmpty || !resolve) combined
     else {
       val keys = graft.model.Model.MergeKeys
       val allCols = combined.columns.toSeq
-      combined.groupBy(keys.map(col): _*)
+      val p = spark.sessionState.conf.numShufflePartitions
+      combined.withColumn("__bkt", bucketCol(col("conv_id")))
+        .repartition(p, col("__bkt"))
+        .groupBy((col("__bkt") +: keys.map(col)): _*)
         .agg(max_by(struct(allCols.map(col): _*),
           struct(col("_txid"), coalesce(col("_etag"), lit("")))).as("__m"))
         .select(col("__m.*"))
