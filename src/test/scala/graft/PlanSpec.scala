@@ -140,6 +140,32 @@ class PlanSpec extends SparkSpec {
           "table scan under a shuffle exchange in the delta write plan:\n" +
             bad.headOption.getOrElse(""))
       }
+      // and the steady write moves PAYLOAD through exactly one
+      // exchange — the batch's by-bucket hash (the winner groupBy,
+      // broadcast gate and writer all keep that layout). The only
+      // other exchange permitted is the gate's per-key max-txid
+      // aggregation, which is NARROW (merge keys + txid, no payload
+      // columns) and O(batch·depth) rows — every other shape (a
+      // writer repartition, a table-side shuffle) is a regression.
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+      def flat(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+        case s: QueryStageExec => flat(s.plan)
+        case r: ReusedExchangeExec => flat(r.child)
+        case other => other.children.flatMap(flat)
+      })
+      val shuffles = wp.flatMap(qe => flat(qe.executedPlan).distinct
+        .collect { case e: ShuffleExchangeExec => e })
+      val payloadShuffles = shuffles.filterNot(_.output.length <= 3)
+      assert(payloadShuffles.size == 1,
+        s"steady delta write has ${payloadShuffles.size} payload-bearing " +
+          s"exchanges (want exactly 1: the batch's by-bucket hash):\n" +
+          payloadShuffles.map(_.treeString.take(400)).mkString("\n"))
+      assert(payloadShuffles.head.outputPartitioning.toString.contains("__bkt"),
+        "the one payload exchange is not the by-bucket hash: " +
+          payloadShuffles.head.outputPartitioning.toString)
     } finally spark.listenerManager.unregister(listener)
   }
 
