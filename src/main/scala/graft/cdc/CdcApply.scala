@@ -546,12 +546,17 @@ object CdcApply {
         val evTagged = events
           .withColumn("__bkt", bktTag).withColumn("__slt", sltTag)
           .repartition(shufflePartitions, col("__bkt"), col("__slt"))
+        // keys are projected from the GROUP-KEY attributes, not out of
+        // the max_by struct: the sort-aggregate's output ordering
+        // (__bkt, __slt, keys) then survives the projection, so the
+        // sort-merge join needs no extra sort on the winners side
         val bulkWinners = evTagged
           .groupBy((Seq(col("__bkt"), col("__slt")) ++ Model.MergeKeys.map(col)): _*)
           .agg(max_by(
-            struct(eventCols.map(col): _*),
+            struct(eventCols.filterNot(Model.MergeKeys.contains).map(col): _*),
             struct(col("_txid"), coalesce(col("_etag"), lit("")))).as("__w"))
-          .select(col("__bkt"), col("__slt"), col("__w.*"))
+          .select((Seq(col("__bkt"), col("__slt")) ++
+            Model.MergeKeys.map(col) :+ col("__w.*")): _*)
         val bulkWinnerRows = bulkWinners.select((schema.fields.map { f =>
           if (f.name == "_deleted") isDel.as("_deleted")
           else if (keyCols(f.name) || f.name == "_txid" || f.name == "_etag")
