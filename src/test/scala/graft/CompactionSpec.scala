@@ -172,4 +172,31 @@ class CompactionSpec extends SparkSpec {
     CdcApply.applyBatch(spark, table, ev(15, "update"))
     assert(table.read(spark).count() == 0)
   }
+
+  test("readers are snapshot-isolated from later commits, folds and vacuum") {
+    val events = Corpus.changeEvents(spark, 4000, nConvs = 40, maxTurns = 8)
+    val table = new LakeTable(tmpDir("snapiso"), numBuckets = 8)
+    CdcApply.applyBatch(spark, table, events.where(col("_txid") <= 2000))
+    // a reader plans against commit v1's file list NOW...
+    val reader = table.read(spark)
+      .select("conv_id", "turn_idx", "text", "_txid")
+    val v1State = reader.collect().map(_.mkString("|")).toSet
+    // ...then the table moves on: delta commits, a forced fold of every
+    // touched bucket (fresh base dirs), and a vacuum that deletes
+    // everything outside the retention window — but NOT v1's dirs,
+    // which the retained-commit window still references
+    CdcApply.applyBatch(spark, table,
+      events.where(col("_txid") > 2000 && col("_txid") <= 3000))
+    CdcApply.applyBatch(spark, table,
+      events.where(col("_txid") > 3000), maxDeltaDepth = 1, foldRatio = 0.0)
+    table.vacuum(retainCommits = 3)
+    assert(table.currentCommit().get.version >= 3)
+    // the old plan still reads exactly v1's rows — snapshot isolation
+    // holds because data dirs are immutable (each commit writes NEW
+    // dirs; only vacuum outside the retention window deletes)
+    assert(reader.collect().map(_.mkString("|")).toSet == v1State,
+      "reader plan bound to v1 saw later writes or lost files")
+    // while a fresh reader sees the latest state
+    assert(table.read(spark).agg(max(col("_txid"))).head().getLong(0) > 3000)
+  }
 }
