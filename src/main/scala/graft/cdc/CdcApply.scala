@@ -55,7 +55,7 @@ case class ApplyStats(
   */
 object CdcApply {
 
-  val SaltBuckets = 8
+  val SaltBuckets: Int = graft.table.LakeTable.SaltBuckets
 
   /** Map a Spark type onto the reference's promotion lattice name
     * (SURVEY.md §1.3). Unlisted types promote via varchar (absorbs). */
@@ -220,8 +220,15 @@ object CdcApply {
         buckets.sorted
       case None if !pruneBuckets => 0 until table.numBuckets
       case None =>
+        // hash the CAST key — the winner tagging below hashes the key
+        // cast to the stored type, and xxhash64 is type-directed, so an
+        // uncast pre-scan (e.g. a batch whose conv_id inferred bigint
+        // against a stored string column) would compute a DIFFERENT
+        // bucket set: the gate would read the wrong buckets and a
+        // winner could fall outside every fold/cons/delta partition
         val eAgg = events.agg(
-          collect_set(table.bucketCol(col("conv_id"))).as("buckets"),
+          collect_set(table.bucketCol(
+            col("conv_id").cast(schema("conv_id").dataType))).as("buckets"),
           count(lit(1)).as("n")).head()
         batchCount = eAgg.getAs[Long]("n")
         if (batchCount == 0L)
@@ -257,16 +264,21 @@ object CdcApply {
       // 3. align winners to the stored schema; deletes become tombstones
       // with payload nulled (the per-key version gate needs them so a
       // stale update arriving after a newer delete cannot resurrect).
+      // Shared by the steady/broadcast winners and the bulk path's
+      // co-partitioned winners (which carry extra tag columns).
       val keyCols = Model.MergeKeys.toSet
       val isDel = col("_op") === "delete"
-      val winnerRows = winners.select(schema.fields.map { f =>
-        if (f.name == "_deleted") isDel.as("_deleted")
-        else if (keyCols(f.name) || f.name == "_txid" || f.name == "_etag")
-          col(f.name).cast(f.dataType).as(f.name)
-        else if (winners.columns.contains(f.name))
-          when(isDel, lit(null)).otherwise(col(f.name)).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }.toSeq :+ col("__bkt"): _*)
+      def alignWinnerCols(srcCols: Seq[String]): Seq[org.apache.spark.sql.Column] =
+        schema.fields.map { f =>
+          if (f.name == "_deleted") isDel.as("_deleted")
+          else if (keyCols(f.name) || f.name == "_txid" || f.name == "_etag")
+            col(f.name).cast(f.dataType).as(f.name)
+          else if (srcCols.contains(f.name))
+            when(isDel, lit(null)).otherwise(col(f.name)).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq
+      val winnerRows = winners.select(
+        alignWinnerCols(winners.columns.toSeq) :+ col("__bkt"): _*)
 
       val version = table.nextVersion
       val rel = f"data/c$version%012d"
@@ -557,14 +569,9 @@ object CdcApply {
             struct(col("_txid"), coalesce(col("_etag"), lit("")))).as("__w"))
           .select((Seq(col("__bkt"), col("__slt")) ++
             Model.MergeKeys.map(col) :+ col("__w.*")): _*)
-        val bulkWinnerRows = bulkWinners.select((schema.fields.map { f =>
-          if (f.name == "_deleted") isDel.as("_deleted")
-          else if (keyCols(f.name) || f.name == "_txid" || f.name == "_etag")
-            col(f.name).cast(f.dataType).as(f.name)
-          else if (bulkWinners.columns.contains(f.name))
-            when(isDel, lit(null)).otherwise(col(f.name)).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }.toSeq :+ col("__bkt") :+ col("__slt")): _*)
+        val bulkWinnerRows = bulkWinners.select(
+          (alignWinnerCols(bulkWinners.columns.toSeq)
+            :+ col("__bkt") :+ col("__slt")): _*)
         // target side: its ONE exchange, on the same keys
         val tgtTagged = target
           .withColumn("__bkt", bktTag).withColumn("__slt", sltTag)
@@ -593,7 +600,13 @@ object CdcApply {
         val sorted = merged
           .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
         // subset co-partitioning must be allowed at PLANNING time of
-        // this one action; restore the caller's setting right after
+        // this one action; restore the caller's setting right after.
+        // The flip is session-visible for the write's duration: under
+        // the engine's single-writer-per-session model (concurrent
+        // WRITERS use separate sessions and the OCC commit retry) no
+        // other plan is being built in this session, and the relaxed
+        // setting is semantics-preserving anyway — it only widens
+        // which existing partitionings a join may reuse.
         val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
         val coPartPrev = spark.conf.getOption(coPartKey)
         spark.conf.set(coPartKey, "false")
@@ -604,9 +617,14 @@ object CdcApply {
           case None => spark.conf.unset(coPartKey)
         }
 
+        // AQE may rewrite an all-empty merge to an empty relation and
+        // drop the CollectMetrics node (same hazard the delta path
+        // guards): a missing map means nothing was written
         val metrics0 = obs.get
-        val n = Option(metrics0("nEff")).map(_.asInstanceOf[Long]).getOrElse(0L)
-        val nDel = Option(metrics0("nDel")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        val n = metrics0.get("nEff").flatMap(Option(_))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val nDel = metrics0.get("nDel").flatMap(Option(_))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         if (n == 0L) {
           // pure replay: nothing took effect — discard the rewrite,
           // keep the previous snapshot (idempotent no-op)

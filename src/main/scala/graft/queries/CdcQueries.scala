@@ -160,8 +160,13 @@ object CdcQueries {
         // parquet ts is TIMESTAMP_NTZ, which cannot cast to long
         // directly — hop through TIMESTAMP (UTC session)
         val tsl = col("ts").cast("timestamp").cast("long")
-        val bounds = ev.where(col("ts").isNotNull)
-          .withColumn("tsl", tsl).stat.approxQuantile("tsl", Array(0.34, 0.67), 0.0)
+        // 0.01 relative error: the thirds only need to be roughly equal
+        // (exact GK at 0.0 retains ~every distinct value driver-side);
+        // an all-null/empty ts column yields NO quantiles — fall back
+        // to one segment rather than indexing an empty array
+        val qs = ev.where(col("ts").isNotNull)
+          .withColumn("tsl", tsl).stat.approxQuantile("tsl", Array(0.34, 0.67), 0.01)
+        val bounds = if (qs.length == 2) qs else Array(Double.MaxValue, Double.MaxValue)
         Seq(
           tsl.isNull || tsl <= bounds(0),
           tsl > bounds(0) && tsl <= bounds(1),

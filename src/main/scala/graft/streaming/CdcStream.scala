@@ -103,18 +103,16 @@ object CdcStream {
 
   /** Write one NDJSON changelog segment with lossless timestamps
     * (both zoned and NTZ variants — parquet-sourced ts columns are
-    * often TIMESTAMP_NTZ). Guarantees `parts` files: coalesce can only
-    * REDUCE partitions, so a 1-partition frame asked for 4 parts used
-    * to silently produce ONE file (and a downstream tail reading it as
-    * one micro-batch regardless of maxFilesPerTrigger). Callers that
-    * need ts-RANGED parts (q49's watermark-monotonic arrival) must
-    * pass an orderBy'd frame, which always has ≥ parts partitions and
-    * so takes the order-preserving coalesce path; the repartition
-    * fallback shuffles and keeps no order. */
+    * often TIMESTAMP_NTZ). `parts > 1` repartitions (round-robin) so
+    * exactly `parts` files exist regardless of the input's partition
+    * count — coalesce alone can only REDUCE, so a 1-partition frame
+    * asked for 4 parts used to silently produce ONE file and a
+    * downstream tail read it as one micro-batch regardless of
+    * maxFilesPerTrigger. Rows are NOT ts-ordered across parts: a
+    * caller that needs ts-ranged segments (watermark-monotone arrival,
+    * q49) must write one segment dir per ts range, as q49 does. */
   def writeSegment(df: DataFrame, path: String, parts: Int = 1): Unit = {
-    val arranged =
-      if (parts <= 1 || df.rdd.getNumPartitions >= parts) df.coalesce(parts)
-      else df.repartition(parts)
+    val arranged = if (parts <= 1) df.coalesce(1) else df.repartition(parts)
     arranged.write.mode("overwrite")
       .option("timestampFormat", TimestampFormat)
       .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
@@ -255,11 +253,23 @@ object CdcStream {
                   col("_path"))
                 .select(col("e.*"), col("__novel"),
                   substring_index(col("_path"), "/", -1).as("_origin_file"), {
-                    val tail = substring_index(col("_path"), dcMarker, -1)
-                    val dc = substring_index(tail, "/", 1)
-                    when(tail =!= col("_path") && length(dc) > 0 &&
+                    // the dc is the component after the last occurrence
+                    // of "/<root>/" that still has a file below it; the
+                    // -2 fallback reproduces the old greedy regex's
+                    // backtrack when a dc's subtree reuses the root
+                    // dir's name (".../root/dc1/root/part-0.json": the
+                    // last marker's tail is just the filename, so the
+                    // second-to-last yields dc1 — deeper repeats of
+                    // that pathological shape fall to "default")
+                    def dcFrom(tail: org.apache.spark.sql.Column) = {
+                      val dc = substring_index(tail, "/", 1)
+                      when(tail =!= col("_path") && length(dc) > 0 &&
                         instr(tail, "/") > 0, dc)
-                      .otherwise(lit("default")).as("_origin_dc")
+                    }
+                    coalesce(
+                      dcFrom(substring_index(col("_path"), dcMarker, -1)),
+                      dcFrom(substring_index(col("_path"), dcMarker, -2)),
+                      lit("default")).as("_origin_dc")
                   })
             }
             var enriched = parseWith(schemaCache)
@@ -277,8 +287,12 @@ object CdcStream {
               // summarize or the batch records no ingest-lag reading.
               def summarize(df: DataFrame) = {
                 val hasTs = schemaCache.fieldNames.contains("ts")
+                // cast before hashing: xxhash64 is type-directed, and
+                // this bucket set becomes applyBatch's prunedHint —
+                // normalize() will cast conv_id to string before the
+                // apply hashes it, so the hint must hash the same value
                 val okBucket = when(col(CorruptCol).isNull,
-                  table.bucketCol(col("conv_id")))
+                  table.bucketCol(col("conv_id").cast("string")))
                 df.groupBy("_origin_dc").agg(
                   count(lit(1)).as("n"),
                   countDistinct(col("_origin_file")).as("nf"),

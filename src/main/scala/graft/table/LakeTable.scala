@@ -368,21 +368,27 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     // number of delta files — the highest _txid wins (etag tiebreak for
     // duplicated txids). Skipped entirely when no deltas exist. A
     // max_by instead of a row_number window, and the ONE hash shuffle
-    // is keyed by BUCKET (a function of conv_id) with the merge keys
-    // appended only as grouping columns: same shuffle volume (map-side
+    // is keyed by (BUCKET, SALT) — both functions of the merge keys,
+    // appended as extra grouping columns: same shuffle volume (map-side
     // combine almost never fired on the key-hashed form — base and
     // delta rows of a key colocate per scan split only rarely), but
     // the resolved rows come out CLUSTERED BY BUCKET, so a fold can
     // stream them straight to its bucket-partitioned writer with no
-    // further exchange and a bounded file count per bucket.
+    // further exchange and ≤ SaltBuckets files per bucket. The salt
+    // keeps the aggregation's parallelism at numBuckets × SaltBuckets
+    // (not numBuckets) and spreads a hot bucket's resolve across
+    // SaltBuckets reducers instead of funneling it through one.
     if (deltaDf.isEmpty || !resolve) combined
     else {
       val keys = graft.model.Model.MergeKeys
       val allCols = combined.columns.toSeq
       val p = spark.sessionState.conf.numShufflePartitions
+      val salt = pmod(xxhash64(col("conv_id"), col("turn_idx")),
+        lit(LakeTable.SaltBuckets.toLong))
       combined.withColumn("__bkt", bucketCol(col("conv_id")))
-        .repartition(p, col("__bkt"))
-        .groupBy((col("__bkt") +: keys.map(col)): _*)
+        .withColumn("__slt", salt)
+        .repartition(p, col("__bkt"), col("__slt"))
+        .groupBy((Seq(col("__bkt"), col("__slt")) ++ keys.map(col)): _*)
         .agg(max_by(struct(allCols.map(col): _*),
           struct(col("_txid"), coalesce(col("_etag"), lit("")))).as("__m"))
         .select(col("__m.*"))
@@ -689,6 +695,12 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
 }
 
 object LakeTable {
+  /** Within-bucket salt width shared by the resolve's shuffle and the
+    * merge paths (CdcApply.SaltBuckets aliases this): a bucket's rows
+    * spread over this many reducers, so hot buckets don't serialize a
+    * stage and per-bucket output file counts stay bounded. */
+  val SaltBuckets = 8
+
   /** Per-bucket row counts from the parquet footers under a commit's
     * data dir (driver-side metadata only; footer reads are O(KB) each,
     * parallelized). Layout: `<dir>/_bucket=N/part-*.parquet`. */

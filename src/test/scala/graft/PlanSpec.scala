@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 
 import graft.table.LakeTable
 import graft.cdc.CdcApply
@@ -22,6 +24,16 @@ class PlanSpec extends SparkSpec {
     df.collect() // materialize so AQE finalizes the physical plan
     df.queryExecution.executedPlan.toString
   }
+
+  /** Expand through AQE plans and query stages (incl. Spark 4's
+    * ResultQueryStage): their inner plans are internal state, not
+    * children, so a plain .collect stops at them. */
+  private def flattenPlan(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+    case a: AdaptiveSparkPlanExec => flattenPlan(a.executedPlan)
+    case s: QueryStageExec => flattenPlan(s.plan)
+    case r: ReusedExchangeExec => flattenPlan(r.child)
+    case other => other.children.flatMap(flattenPlan)
+  })
 
   test("q02 filter pushdown reaches the parquet scan") {
     val p = planOf("q02_filter_pushdown")
@@ -147,16 +159,8 @@ class PlanSpec extends SparkSpec {
       // aggregation, which is NARROW (merge keys + txid, no payload
       // columns) and O(batch·depth) rows — every other shape (a
       // writer repartition, a table-side shuffle) is a regression.
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
-      def flat(p: org.apache.spark.sql.execution.SparkPlan):
-          Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
-        case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
-        case s: QueryStageExec => flat(s.plan)
-        case r: ReusedExchangeExec => flat(r.child)
-        case other => other.children.flatMap(flat)
-      })
-      val shuffles = wp.flatMap(qe => flat(qe.executedPlan).distinct
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val shuffles = wp.flatMap(qe => flattenPlan(qe.executedPlan).distinct
         .collect { case e: ShuffleExchangeExec => e })
       val payloadShuffles = shuffles.filterNot(_.output.length <= 3)
       assert(payloadShuffles.size == 1,
@@ -316,19 +320,9 @@ class PlanSpec extends SparkSpec {
       var tries = 0
       while (writePlans.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
       assert(writePlans.nonEmpty, "no write-job plan captured")
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
-      // plain .collect stops at AdaptiveSparkPlanExec and every
-      // QueryStageExec (incl. Spark 4's ResultQueryStage): their inner
-      // plans are internal state, not children — expand explicitly
-      def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-        case s: QueryStageExec => flatten(s.plan)
-        case r: ReusedExchangeExec => flatten(r.child)
-        case other => other.children.flatMap(flatten)
-      })
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
       writePlans.foreach { qe =>
-        val nodes = flatten(qe.executedPlan).distinct
+        val nodes = flattenPlan(qe.executedPlan).distinct
         val exchanges = nodes.collect { case e: ShuffleExchangeExec => e }
         assert(exchanges.size == 2,
           s"bulk merge write has ${exchanges.size} exchanges (want 2 — " +
@@ -336,7 +330,7 @@ class PlanSpec extends SparkSpec {
         // and the join must sit ABOVE both exchanges (merged output
         // unshuffled): no exchange may contain a sort-merge join
         val shuffledJoin = exchanges.exists(
-          e => flatten(e).exists(_.nodeName.contains("SortMergeJoin")))
+          e => flattenPlan(e).exists(_.nodeName.contains("SortMergeJoin")))
         assert(!shuffledJoin,
           s"merged join output re-shuffled:\n${qe.executedPlan}")
       }

@@ -32,7 +32,7 @@ class StreamWindowSpec extends SparkSpec {
     // corpus to ONE file, so the old shuffled form ran as a single
     // batch and never exercised cross-batch eviction at all.)
     val bounds = events.withColumn("tsl", col("ts").cast("long"))
-      .stat.approxQuantile("tsl", Array(0.34, 0.67), 0.0)
+      .stat.approxQuantile("tsl", Array(0.34, 0.67), 0.01)
     val tsl = col("ts").cast("long")
     Seq(
       tsl <= bounds(0),
