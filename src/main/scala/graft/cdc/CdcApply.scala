@@ -171,7 +171,7 @@ object CdcApply {
   def applyBatch(
       spark: SparkSession,
       table: LakeTable,
-      events: DataFrame,
+      eventsIn: DataFrame,
       batchId: Long = -1L,
       saltBuckets: Int = SaltBuckets,
       pruneBuckets: Boolean = true,
@@ -187,6 +187,23 @@ object CdcApply {
     if (batchId >= 0 && table.hasBatch(batchId, queryId))
       return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
         skippedReplay = true, prevWm, 0)
+
+    // Declared column renames (LakeTable.renameColumn): fold events from
+    // late producers still emitting a retired key into its CURRENT
+    // column — otherwise the retired name would re-enter the table
+    // schema through the novel-key absorber below and the table would
+    // carry both names forever. A batch carrying BOTH names (producer
+    // fleet mid-migration) keeps the current column's value per row and
+    // falls back to the retired one where it is null. Plan-only when the
+    // batch has no retired keys (the steady state).
+    val events = prev.map(_.renames).getOrElse(Map.empty)
+      .foldLeft(eventsIn) { case (df, (oldName, curName)) =>
+        if (!df.columns.contains(oldName)) df
+        else if (df.columns.contains(curName))
+          df.withColumn(curName, coalesce(col(curName),
+            col(oldName).cast(df.schema(curName).dataType))).drop(oldName)
+        else df.withColumnRenamed(oldName, curName)
+      }
 
     // schema evolution from the event envelope's payload columns
     val envelope = Set("_txid", "_op", "_etag", "_bucket", "_deleted",

@@ -225,6 +225,31 @@ object CdcQueries {
           row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
         FROM events WHERE user_id = 1) WHERE rn = 1 AND value >= 5.0""")),
 
+    // declared column rename mid-replay (north rule: "renamed transcript
+    // fields"): replay half the changelog, ALTER-RENAME value→score
+    // (metadata-only commit), replay the rest STILL carrying the old
+    // name (an unmigrated producer). The reader must surface every
+    // vintage under the new name and the schema must not re-absorb the
+    // retired one — the oracle is the plain last-writer fold with the
+    // column aliased, so any dropped/duplicated/misrouted value
+    // hash-mismatches.
+    QueryDef("q53_rename_evolution",
+      (s, d) => {
+        val ev = asChangeEvents(s, d)
+        val cut = ev.agg(max(col("_txid"))).head().getLong(0) / 2
+        val table = new LakeTable(scratch("rename-"), numBuckets = 16)
+        CdcApply.applyBatch(s, table, ev.where(col("_txid") <= cut))
+        table.renameColumn("value", "score")
+        CdcApply.applyBatch(s, table, ev.where(col("_txid") > cut))
+        table.read(s).select(
+          col("user_id"), col("event_type"), col("score"), col("ts"),
+          (col("_txid") - 1L).as("event_id"))
+      },
+      Some("""SELECT user_id, event_type, value AS score, ts, event_id FROM (
+        SELECT user_id, event_type, value, ts, event_id,
+          row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        FROM events) WHERE rn = 1 AND value >= 5.0""")),
+
     // exact dedup by content hash (reference D1/K1: md5 row hash + uniq)
     QueryDef("q18_dedup_exact",
       (s, d) => t(s, d, "events")

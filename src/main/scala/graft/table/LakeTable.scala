@@ -47,6 +47,16 @@ import org.json4s.jackson.Serialization
   *                       decide CONSOLIDATE (merge the stack into one
   *                       delta, base untouched) vs FOLD (rewrite the
   *                       base) from commit metadata alone
+  * @param renames        retired column name -> CURRENT name, flattened
+  *                       across chained renames (a→b then b→c stores
+  *                       a→c and b→c). Written by
+  *                       [[LakeTable.renameColumn]] — a metadata-only
+  *                       schema update, Iceberg ALTER TABLE RENAME
+  *                       COLUMN semantics: no data file is rewritten;
+  *                       readers map each pre-rename dir's columns onto
+  *                       the current names at scan time, and the apply
+  *                       path maps late producers still emitting a
+  *                       retired key onto its current column
   */
 case class Commit(
     version: Long,
@@ -58,7 +68,8 @@ case class Commit(
     metrics: Map[String, Long],
     queryId: String = "",
     deltas: Map[String, Seq[String]] = Map.empty,
-    deltaRowCounts: Map[String, Seq[Long]] = Map.empty) {
+    deltaRowCounts: Map[String, Seq[Long]] = Map.empty,
+    renames: Map[String, String] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   /** All delta dirs currently stacked on the table. */
@@ -328,6 +339,18 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       case (v, j) => v -> DataType.fromJson(j).asInstanceOf[StructType]
     }
     val latest = c.schema
+    // declared renames (metadata-only — data files keep the retired
+    // name): map each pre-rename dir's columns onto the current names
+    // before the cast-up projection. Stored dirs hold at most ONE of
+    // {retired, current} (the apply path folds late old-key producers
+    // into the current column before writing), so a plain rename
+    // suffices — no per-row coalesce on the read path.
+    def applyRenames(df: DataFrame): DataFrame =
+      c.renames.foldLeft(df) { case (d, (oldName, curName)) =>
+        if (d.columns.contains(oldName) && !d.columns.contains(curName))
+          d.withColumnRenamed(oldName, curName)
+        else d
+      }
     def castUp(df: DataFrame): DataFrame =
       df.select(latest.fields.map { f =>
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -341,18 +364,21 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       val distinctSchemas = byVersion.keys.flatMap(schemas.get).map(_.json).toSet
       // fast path (one scan) only when nothing needs reader-side
       // promotion; add-only evolution is fine (missing columns → null)
+      // but a dir written under a since-retired column name is not —
+      // a single latest-schema scan would read the renamed column as
+      // all-null instead of mapping the retired name onto it
       val addOnly = distinctSchemas.forall { sj =>
         val s = DataType.fromJson(sj).asInstanceOf[StructType]
-        s.fields.forall(f => latest.find(_.name == f.name)
-          .exists(_.dataType == f.dataType))
+        s.fields.forall(f => !c.renames.contains(f.name) &&
+          latest.find(_.name == f.name).exists(_.dataType == f.dataType))
       }
       Some(
         if (addOnly)
           spark.read.schema(latest).parquet(rels.map(r => root.resolve(r).toString): _*)
         else byVersion.toSeq.sortBy(_._1).map { case (ver, grp) =>
           val writerSchema = schemas.getOrElse(ver, latest)
-          castUp(spark.read.schema(writerSchema)
-            .parquet(grp.map(r => root.resolve(r).toString): _*))
+          castUp(applyRenames(spark.read.schema(writerSchema)
+            .parquet(grp.map(r => root.resolve(r).toString): _*)))
         }.reduce(_ unionByName _))
     }
     val baseDf = readGroup(base)
@@ -555,7 +581,8 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       prev.map(_.version + 1).getOrElse(1L), batchId, txidWatermark, schema.json,
       (carried -- dropped) ++ rewritten.collect { case (k, Some(v)) => k.toString -> v },
       counts, metrics + ("deletesSinceCompaction" -> delSince),
-      queryId, newDeltas, newDeltaCounts))
+      queryId, newDeltas, newDeltaCounts,
+      prev.map(_.renames).getOrElse(Map.empty)))
   }
 
   /** Atomically publish a pure MERGE-ON-READ delta commit: per-bucket
@@ -572,6 +599,60 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       queryId: String = ""): Commit =
     commit(schema, Map.empty, Map.empty, txidWatermark, batchId, metrics,
       queryId, deltaAdds)
+
+  /** Rename a payload column — Iceberg ALTER TABLE RENAME COLUMN
+    * semantics (north rule: "renamed transcript fields like tool"): a
+    * METADATA-ONLY commit that swaps the name in the table schema and
+    * records retired→current in [[Commit.renames]]. No data file is
+    * rewritten; readers map pre-rename dirs onto the current name at
+    * scan time, and [[graft.cdc.CdcApply.applyBatch]] folds events from
+    * late producers still emitting the retired key into the current
+    * column (so the retired name can never re-enter the schema through
+    * the novel-key absorber). Chained renames stay flattened: after
+    * a→b then b→c the map holds a→c and b→c, so a dir of ANY vintage
+    * resolves in one hop. Merge keys and CDC envelope columns are
+    * structural and refuse to rename. Concurrency: publishes through
+    * the same one-winner link(2) protocol as data commits; on a lost
+    * race it rebuilds against the new head (touches no buckets, so
+    * there is no true-conflict case). */
+  def renameColumn(oldName: String, newName: String): Commit = {
+    val structural = graft.model.Model.MergeKeys.toSet ++
+      Set("_txid", "_etag", "_deleted", "_bucket")
+    require(oldName != newName, s"rename $oldName -> itself")
+    require(!structural(oldName) && !structural(newName),
+      s"cannot rename structural column ($oldName -> $newName)")
+    this.synchronized {
+      var attempt = 0
+      while (true) {
+        val prev = currentCommit().getOrElse(throw new IllegalArgumentException(
+          s"rename $oldName -> $newName: table at $location has no commits"))
+        val schema = prev.schema
+        require(schema.fieldNames.contains(oldName),
+          s"rename source $oldName not in schema ${schema.fieldNames.mkString(",")}")
+        require(!schema.fieldNames.contains(newName),
+          s"rename target $newName already in schema")
+        val renamed = StructType(schema.fields.map(f =>
+          if (f.name == oldName) f.copy(name = newName) else f))
+        val flattened = prev.renames.map { case (k, v) =>
+          k -> (if (v == oldName) newName else v)
+        } + (oldName -> newName)
+        try return publish(prev.copy(
+          version = prev.version + 1, batchId = -1L, queryId = "",
+          schemaJson = renamed.json,
+          metrics = Map("rename" -> 1L) ++
+            prev.metrics.get("deletesSinceCompaction")
+              .map("deletesSinceCompaction" -> _),
+          renames = flattened))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+            if (attempt > 5) throw new java.util.ConcurrentModificationException(
+              s"rename $oldName -> $newName lost the commit race $attempt times")
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
 
   private def publish(c: Commit): Commit = {
     Files.createDirectories(commitsDir)
