@@ -320,6 +320,37 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     * history. */
   def commitLog(): Seq[Commit] = cachedCommits()
 
+  /** Time travel (Iceberg `VERSION AS OF` semantics): the table's live
+    * rows as of a past commit, so a downstream job can pin a
+    * REPRODUCIBLE snapshot while the streaming tail keeps committing.
+    * Valid for versions still in the retained commit log whose data
+    * dirs have not been garbage-collected — [[checkpointLog]] (history
+    * rollup) and [[vacuum]] (data-dir GC) both shrink the travelable
+    * window, the standard lakehouse retention trade; refusal is an
+    * explicit error, never a silently partial read. */
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    val c = commitLog().find(_.version == version).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $version is not in the retained commit log at $location " +
+          "(never existed, or rolled up by checkpointLog)"))
+    val gone = (c.buckets.values ++ c.deltaFiles)
+      .filterNot(rel => Files.exists(root.resolve(rel))).toSeq.distinct
+    if (gone.nonEmpty) throw new IllegalArgumentException(
+      s"version $version references vacuumed data (${gone.take(4).mkString(", ")}" +
+        s"${if (gone.size > 4) ", …" else ""}) — outside the retention window")
+    val raw = readCommit(spark, c,
+      (c.buckets.keySet ++ c.deltas.keySet).toSeq.map(_.toInt).sorted)
+    if (raw.columns.contains("_deleted"))
+      raw.where(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
+    else raw
+  }
+
+  /** The newest retained version whose txid high-watermark is ≤ `txid`
+    * — time travel by changelog position instead of version number
+    * (`readVersion(versionAt(tx).get)` = "the table as of event tx"). */
+  def versionAt(txid: Long): Option[Long] =
+    commitLog().takeWhile(_.txidWatermark <= txid).lastOption.map(_.version)
+
   private def readCommit(spark: SparkSession, c: Commit, buckets: Seq[Int],
       resolve: Boolean = true, includeBase: Boolean = true): DataFrame = {
     val base =
@@ -472,6 +503,16 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
           attempt += 1
           if (attempt > 5) throw new java.util.ConcurrentModificationException(
             s"lost the commit race $attempt times at $location — livelock?")
+          // an interleaved RENAME commit conflicts with every writer:
+          // this attempt's data files and `schema` were derived under
+          // the pre-rename names, and re-publishing them would revert
+          // the schema while the rename map still points at it — the
+          // caller must redo the apply against the renamed snapshot
+          // (which folds its batch onto the current names)
+          if (currentCommit().exists(_.renames != attemptBaseRenames))
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent column rename at $location — redo the apply " +
+                "against the renamed snapshot")
           val mine: Set[Int] = rewritten.keySet ++ deltaAdds.keySet ++
             deltaReplaces.keySet ++ newRowCounts.keySet
           val theirs = modifiedBucketsSince(attemptBaseVersion)
@@ -488,6 +529,11 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
   /** Version this attempt's state was read from (conflict-window lower
     * bound for the optimistic retry). */
   @volatile private var attemptBaseVersion: Long = 0L
+
+  /** Rename map at the attempt's base version — an interleaved commit
+    * that CHANGED it (a renameColumn) is a true conflict for any data
+    * writer (see commit()'s retry handler). */
+  @volatile private var attemptBaseRenames: Map[String, String] = Map.empty
 
   /** Test-only race injection: runs after an attempt reads the log but
     * before it publishes, so a spec can land a competing commit in the
@@ -526,6 +572,7 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       deltaReplaces: Map[Int, (String, Long)]): Commit = {
     val prev = currentCommit()
     attemptBaseVersion = prev.map(_.version).getOrElse(0L)
+    attemptBaseRenames = prev.map(_.renames).getOrElse(Map.empty)
     val carried = prev.map(_.buckets).getOrElse(Map.empty)
     val carriedCounts = prev.map(_.rowCounts).getOrElse(Map.empty)
     val carriedDeltas = prev.map(_.deltas).getOrElse(Map.empty)

@@ -148,6 +148,32 @@ class RenameSpec extends SparkSpec {
       Corpus.oracleFinalState(events))
   }
 
+  test("a rename racing a data commit is a true conflict; the redo converges") {
+    val table = new LakeTable(tmpDir("ren-race"), numBuckets = 8)
+    val events = Corpus.changeEvents(spark, 600, nConvs = 20, maxTurns = 6,
+      evolveFrac = 0.0)
+    CdcApply.applyBatch(spark, table, events.where(col("_txid") <= 300))
+    // a second handle on the same table lands a RENAME inside the data
+    // commit's publish window (after it read the log, before link(2)):
+    // the data commit's schema and files were derived pre-rename, so
+    // the optimistic retry must REFUSE instead of silently re-publishing
+    // the retired name over the rename
+    val admin = new LakeTable(table.location, numBuckets = 8)
+    table.testBeforePublish = () => { admin.renameColumn("tool", "tool_name"); () }
+    intercept[java.util.ConcurrentModificationException](
+      CdcApply.applyBatch(spark, table, events.where(col("_txid") > 300)))
+    // the redo against the renamed snapshot folds the batch onto the
+    // current names and the final state matches the oracle
+    CdcApply.applyBatch(spark, table, events.where(col("_txid") > 300))
+    val schema = table.currentCommit().get.schema
+    assert(schema.fieldNames.contains("tool_name") &&
+      !schema.fieldNames.contains("tool"))
+    assertSameRows(
+      table.read(spark).select(col("conv_id"), col("turn_idx"), col("role"),
+        col("text"), col("tool_name").as("tool"), col("ts")),
+      Corpus.oracleFinalState(events))
+  }
+
   test("rename survives fold, compaction and the checkpoint rollup") {
     val dir = tmpDir("ren-maint")
     val table = new LakeTable(dir, numBuckets = 4)
