@@ -250,6 +250,74 @@ object CdcQueries {
           row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
         FROM events) WHERE rn = 1 AND value >= 5.0""")),
 
+    // incremental changelog read (CDC-out, Delta CDF / Iceberg
+    // changelog-view semantics): replay the first half of the
+    // changelog, then the rest, and ask the TABLE for the net
+    // row-level changes between the two snapshots. The oracle
+    // recomputes both half-states as last-writer folds and diffs them
+    // — insert/update/delete classification, post-images for upserts,
+    // PRE-images for deletes (reference analogue: the full-dump etag
+    // diff, /root/reference/manta/dc_diff.sh, as a metadata-pruned
+    // lake read instead of a re-scan)
+    QueryDef("q54_changelog_read",
+      (s, d) => {
+        val ev = asChangeEvents(s, d)
+        val cut = ev.agg(max(col("_txid"))).head().getLong(0) / 2
+        val table = new LakeTable(scratch("cdf-"), numBuckets = 16)
+        CdcApply.applyBatch(s, table, ev.where(col("_txid") <= cut))
+        val v1 = table.currentCommit().get.version
+        CdcApply.applyBatch(s, table, ev.where(col("_txid") > cut))
+        val v2 = table.currentCommit().get.version
+        table.changesBetween(s, v1, v2).select(
+          col("_change_type"), col("user_id"), col("event_type"),
+          col("value"), col("ts"), (col("_txid") - 1L).as("event_id"))
+      },
+      Some("""WITH s1 AS (
+          SELECT user_id, event_type, value, ts, event_id FROM (
+            SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) rn
+            FROM events e WHERE event_id + 1 <= (SELECT (max(event_id) + 1) // 2 FROM events))
+          WHERE rn = 1 AND value >= 5.0),
+        s2 AS (
+          SELECT user_id, event_type, value, ts, event_id FROM (
+            SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) rn
+            FROM events e)
+          WHERE rn = 1 AND value >= 5.0)
+        SELECT
+          CASE WHEN s1.event_id IS NULL THEN 'insert'
+               WHEN s2.event_id IS NULL THEN 'delete'
+               ELSE 'update' END AS _change_type,
+          coalesce(s2.user_id, s1.user_id) AS user_id,
+          coalesce(s2.event_type, s1.event_type) AS event_type,
+          CASE WHEN s2.event_id IS NULL THEN s1.value ELSE s2.value END AS value,
+          CASE WHEN s2.event_id IS NULL THEN s1.ts ELSE s2.ts END AS ts,
+          CASE WHEN s2.event_id IS NULL THEN s1.event_id ELSE s2.event_id END AS event_id
+        FROM s2 FULL OUTER JOIN s1
+          ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+        WHERE s1.event_id IS NULL OR s2.event_id IS NULL
+           OR s1.event_id <> s2.event_id""")),
+
+    // snapshot time travel (Iceberg VERSION AS OF): replay both halves,
+    // then read the MID-replay snapshot by changelog position — must
+    // equal the oracle's last-writer fold truncated at the same txid,
+    // even though the table has since advanced
+    QueryDef("q55_time_travel",
+      (s, d) => {
+        val ev = asChangeEvents(s, d)
+        val cut = ev.agg(max(col("_txid"))).head().getLong(0) / 2
+        val table = new LakeTable(scratch("tt-"), numBuckets = 16)
+        CdcApply.applyBatch(s, table, ev.where(col("_txid") <= cut))
+        CdcApply.applyBatch(s, table, ev.where(col("_txid") > cut))
+        val v1 = table.versionAt(cut).get
+        table.readVersion(s, v1).select(
+          col("user_id"), col("event_type"), col("value"), col("ts"),
+          (col("_txid") - 1L).as("event_id"))
+      },
+      Some("""SELECT user_id, event_type, value, ts, event_id FROM (
+        SELECT user_id, event_type, value, ts, event_id,
+          row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id + 1 <= (SELECT (max(event_id) + 1) // 2 FROM events))
+        WHERE rn = 1 AND value >= 5.0""")),
+
     // exact dedup by content hash (reference D1/K1: md5 row hash + uniq)
     QueryDef("q18_dedup_exact",
       (s, d) => t(s, d, "events")
