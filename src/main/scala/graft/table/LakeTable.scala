@@ -378,34 +378,53 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     *
     * `fromVersion` 0 means "before the first commit": every live row
     * at `toVersion` is an `insert` (bootstrap feed for a new
-    * downstream consumer). Every version in [fromVersion, toVersion]
-    * must still be in the retained commit log with un-vacuumed data —
-    * the [[readVersion]] retention rule; refusal is an explicit
-    * error, never a silently partial changelog. */
+    * downstream consumer). Only the two ENDPOINT versions must still
+    * be in the retained commit log with un-vacuumed data — data dirs
+    * are version-stamped (`data/cVVV[d]`) and bucket pointers only
+    * move forward, so equal pointers at both endpoints prove the
+    * bucket was untouched by every commit in between; intermediate
+    * commit JSONs are never consulted. Refusal is an explicit error,
+    * never a silently partial changelog. A consumer that must
+    * out-live [[checkpointLog]] rollups keeps its own copy of the
+    * from-endpoint `Commit` and calls the Commit-based overload
+    * directly (what [[graft.cdc.CdcOut]] does). */
   def changesBetween(spark: SparkSession, fromVersion: Long,
       toVersion: Long): DataFrame = {
     require(fromVersion >= 0 && fromVersion < toVersion,
       s"need 0 <= fromVersion < toVersion, got $fromVersion..$toVersion")
     val byVer = commitLog().map(c => c.version -> c).toMap
-    val missing = (math.max(1L, fromVersion) to toVersion).filterNot(byVer.contains)
-    if (missing.nonEmpty) throw new IllegalArgumentException(
-      s"version${if (missing.size > 1) "s" else ""} " +
-        s"${missing.take(4).mkString(", ")}${if (missing.size > 4) ", …" else ""} " +
-        s"not in the retained commit log at $location (never existed, or " +
-        "rolled up by checkpointLog) — changelog range unavailable")
-    val to = byVer(toVersion)
-    val from = if (fromVersion == 0) None else Some(byVer(fromVersion))
-    // metadata diff: a bucket is TOUCHED iff its base dir or delta
-    // stack differs across any adjacent commit pair in the range
-    def slices(v: Long): (Map[String, String], Map[String, Seq[String]]) =
-      if (v == 0) (Map.empty, Map.empty)
-      else { val c = byVer(v); (c.buckets, c.deltas) }
-    val touched: Seq[Int] = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val (pb, pd) = slices(v - 1)
-      val (cb, cd) = slices(v)
-      (pb.keySet ++ cb.keySet ++ pd.keySet ++ cd.keySet).filter(b =>
-        pb.get(b) != cb.get(b) || pd.getOrElse(b, Nil) != cd.getOrElse(b, Nil))
-    }.distinct.map(_.toInt).sorted
+    def lookup(v: Long): Commit = byVer.getOrElse(v,
+      throw new IllegalArgumentException(
+        s"version $v is not in the retained commit log at $location " +
+          "(never existed, or rolled up by checkpointLog) — changelog " +
+          "endpoint unavailable"))
+    changesBetween(spark,
+      if (fromVersion == 0) None else Some(lookup(fromVersion)),
+      lookup(toVersion))
+  }
+
+  /** [[changesBetween]] with caller-held endpoint commits — `from`
+    * None means "before the first commit" (bootstrap). The commits
+    * must be genuine past commits of THIS table (a consumer's saved
+    * watermark, a [[commitLog]] entry); only their data dirs still
+    * have to exist, so a lagging consumer survives commit-log
+    * rollups as long as its pull cadence beats [[vacuum]]'s data
+    * retention window. */
+  def changesBetween(spark: SparkSession, from: Option[Commit],
+      to: Commit): DataFrame = {
+    from.foreach(f => require(f.version < to.version,
+      s"need from.version < to.version, got ${f.version}..${to.version}"))
+    // metadata diff at the ENDPOINTS: a bucket is TOUCHED iff its base
+    // dir or delta stack differs between the two commits (pointers are
+    // version-stamped and monotonic — they cannot differ mid-range and
+    // return)
+    val (fb, fd) = from.map(c => (c.buckets, c.deltas))
+      .getOrElse((Map.empty[String, String], Map.empty[String, Seq[String]]))
+    val touched: Seq[Int] =
+      (fb.keySet ++ to.buckets.keySet ++ fd.keySet ++ to.deltas.keySet)
+        .filter(b => fb.get(b) != to.buckets.get(b) ||
+          fd.getOrElse(b, Nil) != to.deltas.getOrElse(b, Nil))
+        .toSeq.map(_.toInt).sorted
     val outFields = to.schema.fields.filterNot(_.name == "_deleted").toSeq
     val outSchema = StructType(outFields :+
       StructField("_change_type", org.apache.spark.sql.types.StringType))
