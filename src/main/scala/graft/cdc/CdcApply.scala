@@ -235,7 +235,7 @@ object CdcApply {
           return ApplyStats(prev.map(_.version).getOrElse(0L), 0, 0, 0,
             skippedReplay = false, prevWm, 0)
         buckets.sorted
-      case None if !pruneBuckets => 0 until table.numBuckets
+      case None if !pruneBuckets => 0 until table.effectiveNumBuckets
       case None =>
         // hash the CAST key — the winner tagging below hashes the key
         // cast to the stored type, and xxhash64 is type-directed, so an

@@ -145,8 +145,21 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
   private val root: Path = Paths.get(location)
   private val commitsDir: Path = root.resolve("_commits")
 
+  /** The bucket count the table's data is ACTUALLY laid out with: the
+    * count persisted in the retained commit log when one exists, the
+    * constructor's `numBuckets` only for a fresh table. Every commit
+    * carries the layout count forward in its metrics, so re-opening an
+    * existing table with a mismatched constructor value cannot split a
+    * key's history across two hash spaces (the write path would
+    * otherwise route updates for a key to a different bucket than its
+    * stored row and the merge gate would never see them). */
+  def effectiveNumBuckets: Int =
+    cachedCommits().reverseIterator
+      .flatMap(_.metrics.get(LakeTable.NumBucketsKey)).nextOption()
+      .map(_.toInt).getOrElse(numBuckets)
+
   def bucketCol(conv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(conv), lit(numBuckets.toLong)).cast("int")
+    pmod(xxhash64(conv), lit(effectiveNumBuckets.toLong)).cast("int")
 
   /** Cached parse of the commit log (checkpoint rollup + commits after
     * it). The cache is keyed on the set of commit FILENAMES (a cheap
@@ -762,7 +775,11 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     publish(Commit(
       prev.map(_.version + 1).getOrElse(1L), batchId, txidWatermark, schema.json,
       (carried -- dropped) ++ rewritten.collect { case (k, Some(v)) => k.toString -> v },
-      counts, metrics + ("deletesSinceCompaction" -> delSince),
+      counts, metrics + ("deletesSinceCompaction" -> delSince) +
+        // persist the layout's bucket count forward; a caller-supplied
+        // value wins (only rebucket passes one — it IS the layout change)
+        (LakeTable.NumBucketsKey -> metrics.getOrElse(
+          LakeTable.NumBucketsKey, effectiveNumBuckets.toLong)),
       queryId, newDeltas, newDeltaCounts,
       prev.map(_.renames).getOrElse(Map.empty)))
   }
@@ -823,7 +840,9 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
           schemaJson = renamed.json,
           metrics = Map("rename" -> 1L) ++
             prev.metrics.get("deletesSinceCompaction")
-              .map("deletesSinceCompaction" -> _),
+              .map("deletesSinceCompaction" -> _) ++
+            prev.metrics.get(LakeTable.NumBucketsKey)
+              .map(LakeTable.NumBucketsKey -> _),
           renames = flattened))
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
@@ -873,6 +892,9 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       val rel = f"data/c$version%012d"
       keep.withColumn("_bucket", bucketCol(col("conv_id")))
         .repartition(col("_bucket"))
+        // sorted files → row-group min/max skipping on later gate reads,
+        // same as the fold/delta write paths
+        .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
         .write.mode("overwrite").partitionBy("_bucket")
         .parquet(root.resolve(rel).toString)
       val dirs = {
@@ -896,6 +918,57 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       commit(c.schema, rewritten, counts, c.txidWatermark, -1L,
         Map("compaction" -> 1L, "tombstoneHorizon" -> tombstoneHorizon))
     }
+
+  /** Re-hash the table to a new bucket count — the maintenance op for
+    * a table that has outgrown (or over-provisioned) its layout: at
+    * 100 TB a hot table's per-bucket files eventually dwarf the
+    * original count's parallelism, and the fix must not depend on
+    * every writer being reconfigured in lockstep. One atomic commit
+    * rewrites the resolved snapshot (tombstones carried over, so
+    * resurrection safety and later horizon compaction are unchanged)
+    * under the new hash space, clears every delta stack into it, and
+    * persists the new count as table metadata — subsequent writers and
+    * appliers pick it up via [[effectiveNumBuckets]] no matter what
+    * their constructors say. The analogue of Iceberg partition-spec
+    * evolution, by full rewrite (the layout is a hash space — old and
+    * new specs cannot coexist file-by-file).
+    *
+    * Concurrency: publishes through the optimistic one-winner
+    * protocol, and since it touches EVERY bucket, any interleaved data
+    * commit is a true conflict (`ConcurrentModificationException`) —
+    * run it in a maintenance window or catch-and-retry around the
+    * streaming tail. */
+  def rebucket(spark: SparkSession, newNumBuckets: Int): Commit = {
+    require(newNumBuckets > 0, s"newNumBuckets must be positive: $newNumBuckets")
+    val c = currentCommit().getOrElse(throw new IllegalArgumentException(
+      s"rebucket: table at $location has no commits"))
+    val oldN = effectiveNumBuckets
+    require(newNumBuckets != oldN,
+      s"table at $location is already laid out with $oldN buckets")
+    val version = c.version + 1
+    val rel = f"data/c$version%012d"
+    val newBucket =
+      pmod(xxhash64(col("conv_id")), lit(newNumBuckets.toLong)).cast("int")
+    readRaw(spark).withColumn("_bucket", newBucket)
+      .repartition(col("_bucket"))
+      .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
+      .write.mode("overwrite").partitionBy("_bucket")
+      .parquet(root.resolve(rel).toString)
+    val dirs = {
+      val s = Files.list(root.resolve(rel))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_bucket=")).toSet
+      finally s.close()
+    }
+    val allBuckets = c.buckets.keySet.map(_.toInt) ++
+      c.deltas.keySet.map(_.toInt) ++ (0 until newNumBuckets)
+    val rewritten: Map[Int, Option[String]] = allBuckets.map { b =>
+      b -> (if (dirs.contains(s"_bucket=$b")) Some(s"$rel/_bucket=$b") else None)
+    }.toMap
+    val counts = LakeTable.footerRowCounts(root.resolve(rel))
+    commit(c.schema, rewritten, counts, c.txidWatermark, -1L,
+      Map("rebucket" -> 1L, LakeTable.NumBucketsKey -> newNumBuckets.toLong))
+  }
 
   /** Garbage-collect data dirs no snapshot in the retention window
     * references (storage would otherwise grow without bound: every
@@ -963,6 +1036,10 @@ object LakeTable {
     * spread over this many reducers, so hot buckets don't serialize a
     * stage and per-bucket output file counts stay bounded. */
   val SaltBuckets = 8
+
+  /** Commit-metrics key persisting the table's physical bucket count
+    * (see [[LakeTable.effectiveNumBuckets]]). */
+  val NumBucketsKey = "numBuckets"
 
   /** Per-bucket row counts from the parquet footers under a commit's
     * data dir (driver-side metadata only; footer reads are O(KB) each,

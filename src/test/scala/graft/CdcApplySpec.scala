@@ -386,4 +386,41 @@ class CdcApplySpec extends SparkSpec {
     assert(s.bucketsTouched == 1)
     assert(finalPayload(table).where($"text" === "patch").count() == 1)
   }
+
+  test("reopening with a mismatched constructor bucket count still merges correctly") {
+    val events = corpus(2000)
+    val dir = tmpDir("layout")
+    CdcApply.applyBatch(spark, new LakeTable(dir, numBuckets = 8),
+      events.where(col("_txid") <= 1000))
+    // a differently-configured writer opens the SAME table: the
+    // persisted layout count must win or updates would hash to buckets
+    // their stored rows are not in (split-key corruption)
+    val reopened = new LakeTable(dir, numBuckets = 32)
+    assert(reopened.effectiveNumBuckets == 8)
+    CdcApply.applyBatch(spark, reopened, events.where(col("_txid") > 1000))
+    assertSameRows(finalPayload(reopened), Corpus.oracleFinalState(events))
+    // layout stayed 8-bucket on disk and in the new commit's metadata
+    assert(reopened.currentCommit().get.metrics(LakeTable.NumBucketsKey) == 8L)
+    assert(reopened.currentCommit().get.buckets.keySet.forall(_.toInt < 8))
+  }
+
+  test("rebucket re-hashes the layout atomically; appliers follow the new count") {
+    val events = corpus(2000)
+    val dir = tmpDir("rebucket")
+    val t = new LakeTable(dir, numBuckets = 4)
+    CdcApply.applyBatch(spark, t, events.where(col("_txid") <= 1500))
+    val vBefore = t.currentCommit().get.version
+    val c = t.rebucket(spark, 16)
+    assert(t.effectiveNumBuckets == 16)
+    assert(c.buckets.keySet.exists(_.toInt >= 4), "no rows landed above the old hash space?")
+    assert(c.deltas.isEmpty, "rebucket must clear every delta stack into the new base")
+    // a physical-only rewrite: the changelog across it is empty
+    assert(t.changesBetween(spark, vBefore, c.version).count() == 0)
+    // a stale-configured handle keeps merging correctly in the NEW space
+    val stale = new LakeTable(dir, numBuckets = 4)
+    assert(stale.effectiveNumBuckets == 16)
+    CdcApply.applyBatch(spark, stale, events.where(col("_txid") > 1500))
+    assertSameRows(finalPayload(stale), Corpus.oracleFinalState(events))
+    assert(stale.currentCommit().get.metrics(LakeTable.NumBucketsKey) == 16L)
+  }
 }
