@@ -21,10 +21,17 @@ import graft.table.{Commit, LakeTable}
   * file. Exactly-once by construction:
   *
   *  - the watermark advances only AFTER the pull directory is fully
-  *    written — a crash in between re-runs the SAME range into the
-  *    SAME directory (overwrite), so the retry is idempotent;
-  *  - a pull with no new commits is a no-op (None), never an empty
-  *    directory;
+  *    written — a crash in between re-runs the range from the same
+  *    from-version (the head may have advanced meanwhile, widening
+  *    the retry's range); the crashed attempt's orphan directory is
+  *    deleted before the retry writes, so the on-disk directories are
+  *    always exactly the acknowledged chain from version 0 to the
+  *    watermark — fold them in order and the state is correct;
+  *  - a pull with no new commits is a no-op (None), and a range whose
+  *    net changes are EMPTY (maintenance-only commits: rename,
+  *    compaction, rebucket, consolidation — or churn that cancelled
+  *    out) acknowledges the new version but never leaves an empty
+  *    directory behind;
   *  - the watermark stores the consumer's own COPY of the endpoint
   *    [[Commit]] metadata (Kafka-offset style, offsets live with the
   *    consumer), so a lagging consumer survives [[LakeTable.checkpointLog]]
@@ -72,6 +79,14 @@ object CdcOut {
       else None
     val last = wm.map(_.version).getOrElse(0L)
     if (head.version <= last) return None
+    // clean up any orphan of a crashed pull FIRST: a dir starting at
+    // the current watermark is by construction unacknowledged, and if
+    // the table head advanced since the crash it would otherwise
+    // survive with a STALE to-version — overlapping the retry's range
+    // and corrupting a fold-the-dirs-in-order recovery (acknowledged
+    // dirs always chain from 0 to the watermark; orphans break out of
+    // the chain)
+    deleteOrphans(root, last)
     val outDir = root.resolve(f"pull-$last%012d-${head.version}%012d")
     val changes = table.changesBetween(spark, wm.flatMap(_.commit), head)
     // observe on the write job itself — rows reported = rows landed,
@@ -80,12 +95,48 @@ object CdcOut {
     changes.observe(obs, org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("rows"))
       .write.mode("overwrite").parquet(outDir.toString)
-    val rows = obs.get("rows").asInstanceOf[Long]
+    // a replaced-with-empty-relation plan can elide the CollectMetrics
+    // node (same hazard CdcApply guards on its delta write): a missing
+    // metric here means the plan was statically empty — count the
+    // written footers rather than trust the silence
+    val rows = obs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(
+      LakeTable.footerRowCounts(outDir).values.sum)
+    if (rows == 0L) {
+      // a head advanced only by maintenance (rename / compact /
+      // rebucket / consolidation): acknowledge the new version but
+      // never leave an empty pull directory behind
+      deleteRecursively(outDir)
+      advance(root, head)
+      return None
+    }
+    advance(root, head)
+    Some(Pull(last, head.version, rows, outDir.toString))
+  }
+
+  private def advance(root: Path, head: Commit): Unit = {
     val tmp = Files.createTempFile(root, ".tmp-wm-", ".json")
     Files.writeString(tmp, Serialization.write(Watermark(head.version, Some(head))))
     // rename(2) replaces atomically — the watermark flips old→new or
     // stays old, never partial
     Files.move(tmp, wmPath(root), StandardCopyOption.ATOMIC_MOVE)
-    Some(Pull(last, head.version, rows, outDir.toString))
+  }
+
+  private def deleteOrphans(root: Path, watermark: Long): Unit = {
+    val prefix = f"pull-$watermark%012d-"
+    val s = Files.list(root)
+    val orphans = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.getFileName.toString.startsWith(prefix)).toList
+    } finally s.close()
+    orphans.foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(p)) return
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally walk.close()
   }
 }

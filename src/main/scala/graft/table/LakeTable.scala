@@ -153,13 +153,32 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     * key's history across two hash spaces (the write path would
     * otherwise route updates for a key to a different bucket than its
     * stored row and the merge gate would never see them). */
-  def effectiveNumBuckets: Int =
-    cachedCommits().reverseIterator
+  def effectiveNumBuckets: Int = {
+    val commits = cachedCommits()
+    commits.reverseIterator
       .flatMap(_.metrics.get(LakeTable.NumBucketsKey)).nextOption()
-      .map(_.toInt).getOrElse(numBuckets)
+      .map(_.toInt).getOrElse {
+        // pre-metric table (written before the layout key was
+        // persisted): the constructor has to be trusted, but a
+        // PROVABLY wrong value is refused — a stored bucket id at or
+        // above the claimed count can only come from a larger hash
+        // space. (A too-large claim over a small-id population is not
+        // detectable; the first commit through this code pins the
+        // count and ends the exposure.)
+        commits.lastOption.foreach { c =>
+          val maxId = (c.buckets.keySet ++ c.deltas.keySet).map(_.toInt)
+            .maxOption.getOrElse(-1)
+          require(maxId < numBuckets,
+            s"table at $location holds bucket $maxId but this handle " +
+              s"claims numBuckets=$numBuckets — existing table opened " +
+              "with a wrong bucket count")
+        }
+        numBuckets
+      }
+  }
 
   def bucketCol(conv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(conv), lit(effectiveNumBuckets.toLong)).cast("int")
+    LakeTable.bucketColFor(conv, effectiveNumBuckets)
 
   /** Cached parse of the commit log (checkpoint rollup + commits after
     * it). The cache is keyed on the set of commit FILENAMES (a cheap
@@ -480,22 +499,32 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
         StructType(outFields)))
     // churn-sized full-outer diff on the merge keys; version identity is
     // the null-safe (_txid, _etag) pair, so maintenance-only rewrites
-    // (same logical rows, new files) compare equal and emit nothing
+    // (same logical rows, new files) compare equal and emit nothing.
+    // `_change_type` is RESERVED (Delta CDF convention) — a payload
+    // column by that name would silently shadow the classification
     val keys = graft.model.Model.MergeKeys
     val nonKey = outFields.map(_.name).filterNot(keys.contains)
+    require(!nonKey.contains("_change_type"),
+      s"payload column _change_type at $location conflicts with the " +
+        "changelog's reserved classification column — rename it first")
+    // each side packed into ONE struct column, so arbitrary payload
+    // column names (the novel-key absorber admits anything, including
+    // names like `present`) cannot collide with the join's bookkeeping:
+    // the only top-level aux names are __n/__o, and tag() projects
+    // nothing else, while the merge keys are structural and fixed
     def tag(df: DataFrame, p: String) = df.select(
-      (keys.map(col) :+ lit(true).as(s"__${p}present")) ++
-        nonKey.map(c => col(c).as(s"__$p$c")): _*)
+      keys.map(col) :+ struct(nonKey.map(col): _*).as(s"__$p"): _*)
     val j = tag(post, "n").join(tag(pre, "o"), keys.toSeq, "full_outer")
-    val unchanged = col("__npresent").isNotNull && col("__opresent").isNotNull &&
-      (col("__n_txid") <=> col("__o_txid")) && (col("__n_etag") <=> col("__o_etag"))
-    val changeType = when(col("__opresent").isNull, lit("insert"))
-      .when(col("__npresent").isNull, lit("delete"))
+    val unchanged = col("__n").isNotNull && col("__o").isNotNull &&
+      (col("__n").getField("_txid") <=> col("__o").getField("_txid")) &&
+      (col("__n").getField("_etag") <=> col("__o").getField("_etag"))
+    val changeType = when(col("__o").isNull, lit("insert"))
+      .when(col("__n").isNull, lit("delete"))
       .otherwise(lit("update"))
     j.where(!unchanged).select(
       (keys.map(col) ++ nonKey.map(c =>
-        when(col("__npresent").isNull, col(s"__o$c"))
-          .otherwise(col(s"__n$c")).as(c))) :+
+        when(col("__n").isNull, col("__o").getField(c))
+          .otherwise(col("__n").getField(c)).as(c))) :+
         changeType.as("_change_type"): _*)
   }
 
@@ -541,23 +570,35 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       // both were written under commit VVV's schema
       val byVersion = rels.groupBy(rel => rel.split("/")(1).stripSuffix("d"))
       val distinctSchemas = byVersion.keys.flatMap(schemas.get).map(_.json).toSet
-      // fast path (one scan) only when nothing needs reader-side
-      // promotion; add-only evolution is fine (missing columns → null)
-      // but a dir written under a since-retired column name is not —
-      // a single latest-schema scan would read the renamed column as
-      // all-null instead of mapping the retired name onto it
-      val addOnly = distinctSchemas.forall { sj =>
-        val s = DataType.fromJson(sj).asInstanceOf[StructType]
-        s.fields.forall(f => !c.renames.contains(f.name) &&
-          latest.find(_.name == f.name).exists(_.dataType == f.dataType))
-      }
+      // fast path (one scan) only when EVERY dir's writer schema is
+      // known and nothing needs reader-side promotion; add-only
+      // evolution is fine (missing columns → null) but a dir written
+      // under a since-retired column name is not — a single
+      // latest-schema scan would read the renamed column as all-null
+      // instead of mapping the retired name onto it
+      val addOnly = byVersion.keys.forall(schemas.contains) &&
+        distinctSchemas.forall { sj =>
+          val s = DataType.fromJson(sj).asInstanceOf[StructType]
+          s.fields.forall(f => !c.renames.contains(f.name) &&
+            latest.find(_.name == f.name).exists(_.dataType == f.dataType))
+        }
       Some(
         if (addOnly)
           spark.read.schema(latest).parquet(rels.map(r => root.resolve(r).toString): _*)
         else byVersion.toSeq.sortBy(_._1).map { case (ver, grp) =>
-          val writerSchema = schemas.getOrElse(ver, latest)
-          castUp(applyRenames(spark.read.schema(writerSchema)
-            .parquet(grp.map(r => root.resolve(r).toString): _*)))
+          val paths = grp.map(r => root.resolve(r).toString)
+          val scan = schemas.get(ver) match {
+            case Some(ws) => spark.read.schema(ws).parquet(paths: _*)
+            // a dir whose writer schema was pruned from the retained
+            // log (a lagging consumer's endpoint commit after
+            // checkpointLog rolled history up): the parquet footers
+            // carry the written schema exactly, so infer from them and
+            // promote/rename as usual — never scan old files under the
+            // latest schema, which would crash on promoted types or
+            // read renamed columns as all-null
+            case None => spark.read.parquet(paths: _*)
+          }
+          castUp(applyRenames(scan))
         }.reduce(_ unionByName _))
     }
     val baseDf = readGroup(base)
@@ -888,36 +929,41 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     currentCommit().map { c =>
       val keep = readRaw(spark).where(
         !coalesce(col("_deleted"), lit(false)) || col("_txid") >= tombstoneHorizon)
-      val version = c.version + 1
-      val rel = f"data/c$version%012d"
-      keep.withColumn("_bucket", bucketCol(col("conv_id")))
-        .repartition(col("_bucket"))
-        // sorted files → row-group min/max skipping on later gate reads,
-        // same as the fold/delta write paths
-        .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
-        .write.mode("overwrite").partitionBy("_bucket")
-        .parquet(root.resolve(rel).toString)
-      val dirs = {
-        val s = Files.list(root.resolve(rel))
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.startsWith("_bucket=")).toList
-        } finally s.close()
-      }
+      val (rel, dirs, counts) =
+        writeBase(keep, c.version + 1, bucketCol(col("conv_id")))
       // every bucket with a base or a delta stack is folded into the new
-      // base; rewriting them clears their delta stacks in commit()
+      // base; rewriting them clears their delta stacks in commit().
+      // `counts` are the fresh post-compaction row counts: the
+      // tombstones just dropped must leave the per-bucket lineage too
       val liveBuckets = c.buckets.keySet.map(_.toInt) ++ c.deltas.keySet.map(_.toInt)
       val rewritten: Map[Int, Option[String]] =
         liveBuckets.map { b =>
           b -> (if (dirs.contains(s"_bucket=$b")) Some(s"$rel/_bucket=$b") else None)
         }.toMap
-      // fresh post-compaction row counts: the tombstones just dropped
-      // must leave the per-bucket lineage counts too
-      val counts = LakeTable.footerRowCounts(root.resolve(rel))
       commit(c.schema, rewritten, counts, c.txidWatermark, -1L,
         Map("compaction" -> 1L, "tombstoneHorizon" -> tombstoneHorizon))
     }
+
+  /** Rewrite `df` as a fresh bucket-partitioned base under
+    * `data/c<version>`, files sorted by (bucket, conv_id, turn_idx) for
+    * row-group min/max skipping on later gate reads — the one write
+    * shape shared by compaction and rebucketing. Returns the dir's
+    * relative path, its `_bucket=` subdir names, and per-bucket counts. */
+  private def writeBase(df: DataFrame, version: Long,
+      bucket: org.apache.spark.sql.Column):
+      (String, Set[String], Map[Int, Long]) = {
+    val rel = f"data/c$version%012d"
+    df.withColumn("_bucket", bucket)
+      .repartition(col("_bucket"))
+      .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
+      .write.mode("overwrite").partitionBy("_bucket")
+      .parquet(root.resolve(rel).toString)
+    val s = Files.list(root.resolve(rel))
+    val dirs = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("_bucket=")).toSet
+    finally s.close()
+    (rel, dirs, LakeTable.footerRowCounts(root.resolve(rel)))
+  }
 
   /** Re-hash the table to a new bucket count — the maintenance op for
     * a table that has outgrown (or over-provisioned) its layout: at
@@ -945,27 +991,13 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     val oldN = effectiveNumBuckets
     require(newNumBuckets != oldN,
       s"table at $location is already laid out with $oldN buckets")
-    val version = c.version + 1
-    val rel = f"data/c$version%012d"
-    val newBucket =
-      pmod(xxhash64(col("conv_id")), lit(newNumBuckets.toLong)).cast("int")
-    readRaw(spark).withColumn("_bucket", newBucket)
-      .repartition(col("_bucket"))
-      .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
-      .write.mode("overwrite").partitionBy("_bucket")
-      .parquet(root.resolve(rel).toString)
-    val dirs = {
-      val s = Files.list(root.resolve(rel))
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("_bucket=")).toSet
-      finally s.close()
-    }
+    val (rel, dirs, counts) = writeBase(readRaw(spark), c.version + 1,
+      LakeTable.bucketColFor(col("conv_id"), newNumBuckets))
     val allBuckets = c.buckets.keySet.map(_.toInt) ++
       c.deltas.keySet.map(_.toInt) ++ (0 until newNumBuckets)
     val rewritten: Map[Int, Option[String]] = allBuckets.map { b =>
       b -> (if (dirs.contains(s"_bucket=$b")) Some(s"$rel/_bucket=$b") else None)
     }.toMap
-    val counts = LakeTable.footerRowCounts(root.resolve(rel))
     commit(c.schema, rewritten, counts, c.txidWatermark, -1L,
       Map("rebucket" -> 1L, LakeTable.NumBucketsKey -> newNumBuckets.toLong))
   }
@@ -1040,6 +1072,11 @@ object LakeTable {
   /** Commit-metrics key persisting the table's physical bucket count
     * (see [[LakeTable.effectiveNumBuckets]]). */
   val NumBucketsKey = "numBuckets"
+
+  /** The layout hash: conv → bucket id in a given hash space. */
+  def bucketColFor(conv: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(conv), lit(n.toLong)).cast("int")
 
   /** Per-bucket row counts from the parquet footers under a commit's
     * data dir (driver-side metadata only; footer reads are O(KB) each,

@@ -404,6 +404,27 @@ class CdcApplySpec extends SparkSpec {
     assert(reopened.currentCommit().get.buckets.keySet.forall(_.toInt < 8))
   }
 
+  test("pre-metric table: a provably wrong constructor count is refused") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("legacy-layout")
+    CdcApply.applyBatch(spark, new LakeTable(dir, numBuckets = 8), corpus(500))
+    // simulate a pre-upgrade log: strip the persisted layout key
+    val s = Files.list(Paths.get(dir, "_commits"))
+    try s.iterator().asScala.filter(_.toString.endsWith(".json")).foreach { p =>
+      val stripped = Files.readString(p)
+        .replaceAll("\"numBuckets\":\\d+,", "")
+        .replaceAll(",?\"numBuckets\":\\d+", "")
+      Files.writeString(p, stripped)
+    } finally s.close()
+    // bucket ids up to 7 exist — claiming a 4-bucket layout is provably
+    // wrong and must refuse instead of splitting keys across hash spaces
+    intercept[IllegalArgumentException](
+      new LakeTable(dir, numBuckets = 4).effectiveNumBuckets)
+    // the honest count still works (legacy trust path)
+    assert(new LakeTable(dir, numBuckets = 8).effectiveNumBuckets == 8)
+  }
+
   test("rebucket re-hashes the layout atomically; appliers follow the new count") {
     val events = corpus(2000)
     val dir = tmpDir("rebucket")

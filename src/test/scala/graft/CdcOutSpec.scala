@@ -83,6 +83,72 @@ class CdcOutSpec extends SparkSpec {
     assert(state == liveState(t))
   }
 
+  test("crash with an advanced head: the orphan dir is removed, the chain stays foldable") {
+    val t = new LakeTable(tmpDir("out-orphan"), numBuckets = 4)
+    val consumer = tmpDir("out-orphan-consumer")
+    CdcApply.applyBatch(spark, t, ev((1L, "insert", "c1", 0, "a")))
+    CdcOut.pull(spark, t, consumer).get
+    val wm = Paths.get(consumer, "watermark.json")
+    val saved = Files.readString(wm)
+    CdcApply.applyBatch(spark, t, ev((2L, "insert", "c9", 0, "x")))
+    val orphan = CdcOut.pull(spark, t, consumer).get // written, then "crash":
+    Files.writeString(wm, saved)                     // watermark never flipped
+    // the head advances past the crashed range, DELETING the key the
+    // orphan inserted — folding the orphan would resurrect it
+    CdcApply.applyBatch(spark, t, ev((3L, "delete", "c9", 0, "")))
+    // retry: range c1..head nets to nothing (insert+delete cancel) →
+    // acknowledged with no directory, and the orphan is gone
+    assert(CdcOut.pull(spark, t, consumer).isEmpty)
+    assert(CdcOut.lastPulled(consumer) == t.currentCommit().get.version)
+    assert(!Files.exists(Paths.get(orphan.dir)), "orphan pull dir survived")
+    val dirs = Files.list(Paths.get(consumer)).iterator()
+    val pulls = scala.jdk.CollectionConverters.IteratorHasAsScala(dirs).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("pull-")).toSeq.sorted
+    val state = pulls.foldLeft(Map.empty[(String, Int), String])(
+      (m, d) => fold(m, s"$consumer/$d"))
+    assert(state == liveState(t))
+  }
+
+  test("maintenance-only head advance acknowledges without emitting a pull") {
+    val t = new LakeTable(tmpDir("out-maint"), numBuckets = 4)
+    val consumer = tmpDir("out-maint-consumer")
+    CdcApply.applyBatch(spark, t, ev((1L, "insert", "c1", 0, "a")))
+    CdcOut.pull(spark, t, consumer).get
+    t.renameColumn("tool", "tool_name")
+    val before = CdcOut.lastPulled(consumer)
+    assert(CdcOut.pull(spark, t, consumer).isEmpty)
+    assert(CdcOut.lastPulled(consumer) > before, "rename version not acknowledged")
+    val leftovers = Files.list(Paths.get(consumer)).iterator()
+    val empties = scala.jdk.CollectionConverters.IteratorHasAsScala(leftovers).asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(f"pull-$before%012d-")).toSeq
+    assert(empties.isEmpty, s"empty pull dirs left behind: $empties")
+  }
+
+  test("a lagging consumer reads pre-promotion files correctly after a log rollup") {
+    import spark.implicits._
+    def evScore(txid: Long, conv: String, score: org.apache.spark.sql.Column) =
+      Seq((txid, "update", s"e$txid", conv, 0))
+        .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx")
+        .withColumn("score", score)
+    val t = new LakeTable(tmpDir("out-promote"), numBuckets = 2)
+    val consumer = tmpDir("out-promote-consumer")
+    CdcApply.applyBatch(spark, t, evScore(1, "cA", lit(5)))       // score: int
+    CdcOut.pull(spark, t, consumer).get                           // holds v1
+    CdcApply.applyBatch(spark, t, evScore(2, "cB", lit(2.5)))     // → double
+    CdcApply.applyBatch(spark, t, evScore(3, "cA", lit(7.5)))
+    // rewrite every dir, then roll the log up: v1's writer schema (the
+    // int-score vintage) is pruned — the consumer's endpoint must fall
+    // back to the parquet footers, never scan int files as double
+    assert(t.compact(spark, tombstoneHorizon = Long.MaxValue).nonEmpty)
+    t.checkpointLog()
+    val p = CdcOut.pull(spark, t, consumer).get
+    val got = spark.read.parquet(p.dir)
+      .select("conv_id", "_change_type", "score").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got == Map("cA" -> (("update", 7.5)), "cB" -> (("insert", 2.5))))
+  }
+
   test("a lagging consumer survives a commit-log rollup") {
     val t = new LakeTable(tmpDir("out-lag"), numBuckets = 4)
     val consumer = tmpDir("out-lag-consumer")

@@ -116,6 +116,22 @@ class ChangelogSpec extends SparkSpec {
     assert(changeMap(ch) == Map(("conv00000001", 0) -> ("update", "zz")))
   }
 
+  test("payload columns with hostile names (present, __n) don't break the diff") {
+    import spark.implicits._
+    def e(txid: Long, conv: String, v: String) =
+      Seq((txid, "update", s"e$txid", conv, 0))
+        .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx")
+        .withColumn("present", lit(v)).withColumn("__n", lit(v))
+    val t = new LakeTable(tmpDir("cdf-hostile"), numBuckets = 4)
+    CdcApply.applyBatch(spark, t, e(1, "c1", "x"))
+    val v1 = version(t)
+    CdcApply.applyBatch(spark, t, e(2, "c1", "y"))
+    val r = t.changesBetween(spark, v1, version(t))
+      .select("conv_id", "_change_type", "present", "__n").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getString(3)))
+    assert(r.toSeq == Seq(("c1", "update", "y", "y")))
+  }
+
   test("refuses rolled-up or invalid ranges explicitly") {
     val t = new LakeTable(tmpDir("cdf-refuse"), numBuckets = 4)
     CdcApply.applyBatch(spark, t, ev((1L, "insert", "c1", 0, "a1")))
