@@ -24,6 +24,12 @@ import graft.table.LakeTable
   *     filtered, merge-on-read deltas resolved). The injected plan is
   *     the same pruned parquet union the programmatic reader builds, so
   *     Catalyst pushes filters/projections into the scans as usual.
+  *     A `@v<N>` suffix pins a past snapshot (VERSION AS OF, the
+  *     Delta `table@v123` idiom): `graft.`+"`/path@v3`"+` reads
+  *     version 3 via [[LakeTable.readVersion]], with the same
+  *     retention-window refusals as the programmatic API. The suffix
+  *     is reserved — a literal directory name ending in `@v<digits>`
+  *     cannot be addressed through the facade.
   *
   * Session state is never mutated outside the supported injection
   * points; the rule only rewrites relations whose first name part is
@@ -63,7 +69,15 @@ case class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
-        new LakeTable(u.multipartIdentifier(1))
-          .read(spark).queryExecution.analyzed
+        val ident = u.multipartIdentifier(1)
+        val at = ident.lastIndexOf("@v")
+        val (path, version) =
+          if (at > 0 && at + 2 < ident.length &&
+              ident.substring(at + 2).forall(_.isDigit))
+            (ident.substring(0, at), Some(ident.substring(at + 2).toLong))
+          else (ident, None)
+        val t = new LakeTable(path)
+        version.map(t.readVersion(spark, _)).getOrElse(t.read(spark))
+          .queryExecution.analyzed
     }
 }

@@ -102,4 +102,24 @@ class ExtensionsSpec extends SparkSpec {
       assert(gone == 0L, "tombstone visible through SQL facade")
     }
   }
+
+  test("@vN suffix pins a past snapshot in SQL (VERSION AS OF)") {
+    import spark.implicits._
+    val dir = tmpDir("sqltt")
+    val table = new LakeTable(dir, numBuckets = 4)
+    def ev(txid: Long, text: String) =
+      Seq((txid, "update", s"e$txid", "c1", 0, "user", text, null: String,
+        java.sql.Timestamp.valueOf("2014-03-12 00:00:00")))
+        .toDF("_txid", "_op", "_etag", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    CdcApply.applyBatch(spark, table, ev(1, "first"))
+    CdcApply.applyBatch(spark, table, ev(2, "second"))
+    withExtSession { s =>
+      val v1 = s.sql(s"SELECT text FROM graft.`$dir@v1`").head().getString(0)
+      val head = s.sql(s"SELECT text FROM graft.`$dir`").head().getString(0)
+      assert(v1 == "first" && head == "second")
+      // outside the retained window → the readVersion refusal surfaces
+      val err = intercept[Exception](s.sql(s"SELECT * FROM graft.`$dir@v99`").collect())
+      assert(err.getMessage.contains("not in the retained commit log"))
+    }
+  }
 }
