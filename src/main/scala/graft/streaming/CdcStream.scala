@@ -38,7 +38,11 @@ import graft.table.LakeTable
   * analogue: novel-key sweep into `_s`, lib/moraydump_reorg.js:501-529)
   * — unless the field is in `ignoreFields` (manifest `source.ignore`,
   * lib/wf_keys_tojson.js:113-134). Genuinely malformed lines (corrupt
-  * even under the re-inferred schema) are dropped, not absorbed.
+  * even under the re-inferred schema) are excluded from the apply and
+  * DEAD-LETTERED: the raw line plus (datacenter, file) lineage is
+  * written under the table's `_quarantine/batch-N/` and the commit
+  * records a `corruptRows` metric — observable, re-drivable loss,
+  * never silent.
   *
   * Lineage (reference P6, lib/moraydump_reorg.js:179-192,589-592):
   * every line carries its source file via the file source's
@@ -324,6 +328,23 @@ object CdcStream {
                   summary = summarize(enriched)
                 }
               }
+              // dead-letter quarantine: a line still malformed after
+              // drift re-inference is DROPPED from the apply, but never
+              // silently — the raw line plus lineage lands under the
+              // table's _quarantine/ (idempotent per-batch dir, so a
+              // crash-replayed batch overwrites rather than duplicates)
+              // and the commit records the count. Reference contrast:
+              // the dump pipeline hand-patched corrupt dump lines with
+              // site-specific kludges (README F10); here the engine
+              // preserves the evidence for inspection or re-drive.
+              val nCorruptFinal = summary.map(_.getLong(4)).sum
+              if (nCorruptFinal > 0) {
+                enriched.where(col(CorruptCol).isNotNull)
+                  .select(col(CorruptCol).as("raw"),
+                    col("_origin_dc"), col("_origin_file"))
+                  .write.mode("overwrite")
+                  .json(s"${table.location}/_quarantine/batch-$batchId")
+              }
               val lineage: Map[String, Long] = summary
                 .map(r => s"dc:${r.getString(0)}" -> r.getLong(1)).toMap
               val nFiles = summary.map(_.getLong(2)).sum
@@ -342,7 +363,9 @@ object CdcStream {
               val stats = dtime("applyBatch")(
                 CdcApply.applyBatch(session, table, events,
                   batchId = batchId, queryId = queryId, ignoreFields = ignoreFields,
-                  extraMetrics = lineage + ("originFiles" -> nFiles),
+                  extraMetrics = lineage + ("originFiles" -> nFiles) ++
+                    (if (nCorruptFinal > 0)
+                      Map("corruptRows" -> nCorruptFinal) else Map.empty),
                   prunedHint = Some((touchedBuckets, nClean))))
               val ms = (System.nanoTime() - t0) / 1000000
               // ingest lag: wall-clock minus newest event time in the batch

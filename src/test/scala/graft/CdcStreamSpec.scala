@@ -286,4 +286,30 @@ class CdcStreamSpec extends SparkSpec {
     assert(table.currentCommit().get.schema.fieldNames.contains("tool"))
     assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
   }
+
+  test("malformed lines are quarantined with lineage, not silently dropped") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val events = Corpus.changeEvents(spark, 500, nConvs = 10, maxTurns = 4)
+    val dir = tmpDir("dlq-log")
+    writeChangelog(dir, events, Seq((1L, 500L)))
+    // a garbage file inside the same segment dir: the micro-batch
+    // mixes clean and corrupt rows (in-place edits would break the
+    // hadoop .crc sidecars — a fresh file has none)
+    val part = Paths.get(s"$dir/chunk0/zz-bad.json")
+    Files.writeString(part, "{broken json!!\nnot json either\n")
+    val table = new LakeTable(tmpDir("dlq-table"), numBuckets = 8)
+    CdcStream.runOnce(spark, s"$dir/chunk*", table, tmpDir("dlq-ckpt"))
+    // the clean rows applied exactly as if the garbage never existed
+    assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
+    // …and the garbage is preserved with its lineage, and counted
+    val q = spark.read.json(s"${table.location}/_quarantine/*")
+    val rows = q.select("raw", "_origin_file").collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("{broken json!!", "not json either"))
+    assert(rows.forall(r => r.getString(1) ==
+      part.getFileName.toString))
+    assert(table.commitLog().exists(_.metrics.get("corruptRows").contains(2L)),
+      "corruptRows metric missing from the commit log")
+  }
 }
