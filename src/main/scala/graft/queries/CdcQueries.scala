@@ -296,6 +296,57 @@ object CdcQueries {
         WHERE s1.event_id IS NULL OR s2.event_id IS NULL
            OR s1.event_id <> s2.event_id""")),
 
+    // changelog read, Delta-CDF full form: same half/half replay as
+    // q54, but updates emit BOTH images (update_preimage from the old
+    // snapshot, update_postimage from the new) — what an incremental
+    // aggregator needs to subtract old contributions. The oracle
+    // recomputes the diff and unions the four row kinds.
+    QueryDef("q56_changelog_pairs",
+      (s, d) => {
+        val ev = asChangeEvents(s, d)
+        val cut = ev.agg(max(col("_txid"))).head().getLong(0) / 2
+        val table = new LakeTable(scratch("cdfp-"), numBuckets = 16)
+        CdcApply.applyBatch(s, table, ev.where(col("_txid") <= cut))
+        val v1 = table.currentCommit().get.version
+        CdcApply.applyBatch(s, table, ev.where(col("_txid") > cut))
+        val v2 = table.currentCommit().get.version
+        table.changesBetween(s, v1, v2, imagePairs = true).select(
+          col("_change_type"), col("user_id"), col("event_type"),
+          col("value"), col("ts"), (col("_txid") - 1L).as("event_id"))
+      },
+      Some("""WITH s1 AS (
+          SELECT user_id, event_type, value, ts, event_id FROM (
+            SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) rn
+            FROM events e WHERE event_id + 1 <= (SELECT (max(event_id) + 1) // 2 FROM events))
+          WHERE rn = 1 AND value >= 5.0),
+        s2 AS (
+          SELECT user_id, event_type, value, ts, event_id FROM (
+            SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) rn
+            FROM events e)
+          WHERE rn = 1 AND value >= 5.0),
+        j AS (
+          SELECT s1.user_id AS o_user_id, s1.event_type AS o_event_type,
+                 s1.value AS o_value, s1.ts AS o_ts, s1.event_id AS o_event_id,
+                 s2.user_id AS n_user_id, s2.event_type AS n_event_type,
+                 s2.value AS n_value, s2.ts AS n_ts, s2.event_id AS n_event_id
+          FROM s2 FULL OUTER JOIN s1
+            ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+          WHERE s1.event_id IS NULL OR s2.event_id IS NULL
+             OR s1.event_id <> s2.event_id)
+        SELECT 'insert' AS _change_type, n_user_id AS user_id,
+               n_event_type AS event_type, n_value AS value, n_ts AS ts,
+               n_event_id AS event_id
+        FROM j WHERE o_event_id IS NULL
+        UNION ALL
+        SELECT 'delete', o_user_id, o_event_type, o_value, o_ts, o_event_id
+        FROM j WHERE n_event_id IS NULL
+        UNION ALL
+        SELECT 'update_preimage', o_user_id, o_event_type, o_value, o_ts, o_event_id
+        FROM j WHERE o_event_id IS NOT NULL AND n_event_id IS NOT NULL
+        UNION ALL
+        SELECT 'update_postimage', n_user_id, n_event_type, n_value, n_ts, n_event_id
+        FROM j WHERE o_event_id IS NOT NULL AND n_event_id IS NOT NULL""")),
+
     // snapshot time travel (Iceberg VERSION AS OF): replay both halves,
     // then read the MID-replay snapshot by changelog position — must
     // equal the oracle's last-writer fold truncated at the same txid,

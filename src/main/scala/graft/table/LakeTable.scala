@@ -422,6 +422,20 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     * directly (what [[graft.cdc.CdcOut]] does). */
   def changesBetween(spark: SparkSession, fromVersion: Long,
       toVersion: Long): DataFrame = {
+    val (from, to) = resolveEndpoints(fromVersion, toVersion)
+    changesBetween(spark, from, to)
+  }
+
+  /** [[changesBetween]] by version in the Delta-CDF image-pair form
+    * (see the Commit-based overload's `imagePairs` doc). */
+  def changesBetween(spark: SparkSession, fromVersion: Long,
+      toVersion: Long, imagePairs: Boolean): DataFrame = {
+    val (from, to) = resolveEndpoints(fromVersion, toVersion)
+    changesBetween(spark, from, to, imagePairs)
+  }
+
+  private def resolveEndpoints(fromVersion: Long,
+      toVersion: Long): (Option[Commit], Commit) = {
     require(fromVersion >= 0 && fromVersion < toVersion,
       s"need 0 <= fromVersion < toVersion, got $fromVersion..$toVersion")
     val byVer = commitLog().map(c => c.version -> c).toMap
@@ -430,8 +444,7 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
         s"version $v is not in the retained commit log at $location " +
           "(never existed, or rolled up by checkpointLog) — changelog " +
           "endpoint unavailable"))
-    changesBetween(spark,
-      if (fromVersion == 0) None else Some(lookup(fromVersion)),
+    (if (fromVersion == 0) None else Some(lookup(fromVersion)),
       lookup(toVersion))
   }
 
@@ -441,9 +454,18 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     * watermark, a [[commitLog]] entry); only their data dirs still
     * have to exist, so a lagging consumer survives commit-log
     * rollups as long as its pull cadence beats [[vacuum]]'s data
-    * retention window. */
+    * retention window.
+    *
+    * `imagePairs` selects the Delta-CDF full form: an updated key
+    * emits TWO rows, `update_preimage` (the from-endpoint values) and
+    * `update_postimage` (the to-endpoint values), instead of the net
+    * form's single `update` post-image row — what an auditing or
+    * incremental-aggregation consumer needs to SUBTRACT the old
+    * contribution before adding the new. Inserts and deletes are
+    * unchanged. Same single diff join either way — the pair form just
+    * explodes each update match into both sides. */
   def changesBetween(spark: SparkSession, from: Option[Commit],
-      to: Commit): DataFrame = {
+      to: Commit, imagePairs: Boolean = false): DataFrame = {
     from.foreach(f => require(f.version < to.version,
       s"need from.version < to.version, got ${f.version}..${to.version}"))
     // metadata diff at the ENDPOINTS: a bucket is TOUCHED iff its base
@@ -518,15 +540,32 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     val unchanged = col("__n").isNotNull && col("__o").isNotNull &&
       (col("__n").getField("_txid") <=> col("__o").getField("_txid")) &&
       (col("__n").getField("_etag") <=> col("__o").getField("_etag"))
-    val changeType = when(col("__o").isNull, lit("insert"))
-      .when(col("__n").isNull, lit("delete"))
-      .otherwise(lit("update"))
-    j.where(!unchanged).select(
-      (keys.map(col) ++ nonKey.map(c =>
-        when(col("__n").isNull, col("__o").getField(c))
-          .otherwise(col("__n").getField(c)).as(c))) :+
-        changeType.as("_change_type"): _*)
+    if (!imagePairs) {
+      val changeType = when(col("__o").isNull, lit("insert"))
+        .when(col("__n").isNull, lit("delete"))
+        .otherwise(lit("update"))
+      j.where(!unchanged).select(
+        (keys.map(col) ++ nonKey.map(c =>
+          when(col("__n").isNull, col("__o").getField(c))
+            .otherwise(col("__n").getField(c)).as(c))) :+
+          changeType.as("_change_type"): _*)
+    } else {
+      // full form: one join, each update match exploded into its
+      // pre- and post-image rows
+      def img(side: String, ct: String) = struct(
+        nonKey.map(c => col(s"__$side").getField(c).as(c)) :+
+          lit(ct).as("_change_type"): _*)
+      val images = when(col("__o").isNull, array(img("n", "insert")))
+        .when(col("__n").isNull, array(img("o", "delete")))
+        .otherwise(array(
+          img("o", "update_preimage"), img("n", "update_postimage")))
+      j.where(!unchanged)
+        .select(keys.map(col) :+ explode(images).as("__img"): _*)
+        .select(keys.map(col) ++ (nonKey :+ "_change_type").map(c =>
+          col("__img").getField(c).as(c)): _*)
+    }
   }
+
 
   private def readCommit(spark: SparkSession, c: Commit, buckets: Seq[Int],
       resolve: Boolean = true, includeBase: Boolean = true): DataFrame = {

@@ -116,6 +116,26 @@ class ChangelogSpec extends SparkSpec {
     assert(changeMap(ch) == Map(("conv00000001", 0) -> ("update", "zz")))
   }
 
+  test("image-pair form: an update emits pre- and post-image rows") {
+    val t = new LakeTable(tmpDir("cdf-pairs"), numBuckets = 4)
+    CdcApply.applyBatch(spark, t, ev(
+      (1L, "insert", "c1", 0, "old"), (2L, "insert", "c2", 0, "keep")))
+    val v1 = version(t)
+    CdcApply.applyBatch(spark, t, ev(
+      (3L, "update", "c1", 0, "new"),
+      (4L, "delete", "c2", 0, ""),
+      (5L, "insert", "c3", 0, "born")))
+    val got = t.changesBetween(spark, v1, version(t), imagePairs = true)
+      .select("conv_id", "_change_type", "text", "_txid").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("c1", "update_preimage", "old", 1L),
+      ("c1", "update_postimage", "new", 3L),
+      ("c2", "delete", "keep", 2L),
+      ("c3", "insert", "born", 5L)))
+  }
+
   test("payload columns with hostile names (present, __n) don't break the diff") {
     import spark.implicits._
     def e(txid: Long, conv: String, v: String) =
