@@ -71,11 +71,13 @@ case class GraftTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
         val ident = u.multipartIdentifier(1)
         val at = ident.lastIndexOf("@v")
-        val (path, version) =
-          if (at > 0 && at + 2 < ident.length &&
-              ident.substring(at + 2).forall(_.isDigit))
-            (ident.substring(0, at), Some(ident.substring(at + 2).toLong))
-          else (ident, None)
+        // toLongOption, not forall(isDigit): a >19-digit numeric tail
+        // must fall back to the literal-path interpretation, not throw
+        // NumberFormatException out of the analyzer
+        val version =
+          if (at > 0) ident.substring(at + 2).toLongOption.filter(_ >= 0)
+          else None
+        val path = if (version.isDefined) ident.substring(0, at) else ident
         val t = new LakeTable(path)
         version.map(t.readVersion(spark, _)).getOrElse(t.read(spark))
           .queryExecution.analyzed

@@ -40,9 +40,13 @@ import graft.table.LakeTable
   * lib/wf_keys_tojson.js:113-134). Genuinely malformed lines (corrupt
   * even under the re-inferred schema) are excluded from the apply and
   * DEAD-LETTERED: the raw line plus (datacenter, file) lineage is
-  * written under the table's `_quarantine/batch-N/` and the commit
-  * records a `corruptRows` metric — observable, re-drivable loss,
-  * never silent.
+  * written under the table's `_quarantine/<queryId>/batch-N/` (scoped
+  * like commit idempotence, so a later stream on the same table never
+  * overwrites an earlier stream's evidence) and, when the batch
+  * commits, the commit records a `corruptRows` metric. A batch whose
+  * rows are ALL corrupt applies nothing and so publishes no commit —
+  * its quarantine directory is the record for that case — observable,
+  * re-drivable loss, never silent.
   *
   * Lineage (reference P6, lib/moraydump_reorg.js:179-192,589-592):
   * every line carries its source file via the file source's
@@ -339,11 +343,15 @@ object CdcStream {
               // preserves the evidence for inspection or re-drive.
               val nCorruptFinal = summary.map(_.getLong(4)).sum
               if (nCorruptFinal > 0) {
+                // scoped by queryId like commit idempotence: batch ids
+                // restart at 0 per checkpoint, so a later stream on the
+                // same table must not overwrite an earlier stream's
+                // preserved evidence
                 enriched.where(col(CorruptCol).isNotNull)
                   .select(col(CorruptCol).as("raw"),
                     col("_origin_dc"), col("_origin_file"))
                   .write.mode("overwrite")
-                  .json(s"${table.location}/_quarantine/batch-$batchId")
+                  .json(s"${table.location}/_quarantine/$queryId/batch-$batchId")
               }
               val lineage: Map[String, Long] = summary
                 .map(r => s"dc:${r.getString(0)}" -> r.getLong(1)).toMap

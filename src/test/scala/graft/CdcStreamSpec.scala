@@ -303,7 +303,8 @@ class CdcStreamSpec extends SparkSpec {
     // the clean rows applied exactly as if the garbage never existed
     assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
     // …and the garbage is preserved with its lineage, and counted
-    val q = spark.read.json(s"${table.location}/_quarantine/*")
+    // (one dir level per stream identity, then per batch)
+    val q = spark.read.json(s"${table.location}/_quarantine/*/*")
     val rows = q.select("raw", "_origin_file").collect()
     assert(rows.map(_.getString(0)).toSet ==
       Set("{broken json!!", "not json either"))
