@@ -102,8 +102,13 @@ object Bench {
       graft.cdc.CdcApply.replay(spark, table, events, nBatches = 2)
       (System.nanoTime() - t0) / 1e9
     }
-    val cdcSecs = bulkSecs.min
+    // headline uses the MEDIAN rep — the same estimator as the query
+    // section (co-tenant noise must not self-favor the primary metric);
+    // the best rep is still reported alongside for quiet-window reads
+    val cdcSecs = median(bulkSecs)
+    val cdcBestSecs = bulkSecs.min
     val throughput = nEvents / cdcSecs
+    val throughputBest = nEvents / cdcBestSecs
 
     // steady-state incremental metric: small batches against the table
     // just built — the merge-on-read delta path (north-rule tail shape).
@@ -136,6 +141,7 @@ object Bench {
       f""""cdc_events":$nEvents,"cdc_secs":$cdcSecs%.1f,""" +
       s""""cdc_bulk_secs_reps":[${bulkSecs.map(t => f"$t%.1f").mkString(",")}],""" +
       f""""cdc_events_per_sec":$throughput%.0f,""" +
+      f""""cdc_events_per_sec_best":$throughputBest%.0f,""" +
       f""""cdc_steady_events_per_sec":$steadyTp%.0f,""" +
       f""""cdc_steady_batch_events":$per,""" +
       f""""steady_lag_ms_p50":$lagP50%.0f,"steady_lag_ms_p95":$lagP95%.0f,""" +

@@ -98,9 +98,11 @@ object CdcOut {
     // a replaced-with-empty-relation plan can elide the CollectMetrics
     // node (same hazard CdcApply guards on its delta write): a missing
     // metric here means the plan was statically empty — count the
-    // written footers rather than trust the silence
+    // written footers rather than trust the silence. The pull dir is a
+    // FLAT parquet write (no _bucket= partitioning), so the count must
+    // read part files directly under outDir, not bucket subdirs.
     val rows = obs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(
-      LakeTable.footerRowCounts(outDir).values.sum)
+      LakeTable.flatFooterRowCount(outDir))
     if (rows == 0L) {
       // a head advanced only by maintenance (rename / compact /
       // rebucket / consolidation): acknowledge the new version but

@@ -70,15 +70,19 @@ object MinHashSigExpr {
     var i = 0
     while (i < n) {
       val s = shingles.getUTF8String(i)
-      if (s != null) {
-        val h = XXH64.hashUnsafeBytes(
+      // a null element contributes h = Seed, exactly as the HOF form's
+      // xxhash64(null) did (Spark hash functions leave the seed
+      // untouched on null input) — signatures stored by either form
+      // stay bit-identical even for arrays with containsNull = true
+      val h =
+        if (s == null) Seed
+        else XXH64.hashUnsafeBytes(
           s.getBaseObject, s.getBaseOffset, s.numBytes(), Seed)
-        var j = 0
-        while (j < k) {
-          val hj = XXH64.hashLong(h, seeds(j))
-          if (hj < out(j)) out(j) = hj
-          j += 1
-        }
+      var j = 0
+      while (j < k) {
+        val hj = XXH64.hashLong(h, seeds(j))
+        if (hj < out(j)) out(j) = hj
+        j += 1
       }
       i += 1
     }

@@ -778,7 +778,17 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     if (log.isEmpty) return Set.empty
     if (log.head.version > sinceVersion + 1)
       return (log.last.buckets.keySet ++ log.last.deltas.keySet).map(_.toInt)
-    log.sliding(2).collect {
+    // log.head's own predecessor (version == sinceVersion) is never in
+    // the retained log, so sliding(2) can't see head's changes. When the
+    // head itself is inside the conflict window — two writers racing on
+    // an empty table, or the attempt's base rolled into a checkpoint at
+    // base+1 — count everything the head carries as modified (it has no
+    // visible predecessor to diff against; refusal is the safe answer).
+    val headOwn: Set[Int] =
+      if (log.head.version == sinceVersion + 1)
+        (log.head.buckets.keySet ++ log.head.deltas.keySet).map(_.toInt)
+      else Set.empty
+    headOwn ++ log.sliding(2).collect {
       case Seq(a, b) if b.version > sinceVersion =>
         val keys = a.buckets.keySet ++ b.buckets.keySet ++
           a.deltas.keySet ++ b.deltas.keySet
@@ -1120,6 +1130,27 @@ object LakeTable {
   /** Per-bucket row counts from the parquet footers under a commit's
     * data dir (driver-side metadata only; footer reads are O(KB) each,
     * parallelized). Layout: `<dir>/_bucket=N/part-*.parquet`. */
+  /** Footer row count of the part-*.parquet files DIRECTLY under
+    * `dir` (no `_bucket=` partitioning) — the fallback truth source for
+    * flat writes like [[graft.cdc.CdcOut]]'s pull dirs when the write
+    * job's Observation metric was elided by a statically-empty plan.
+    * Driver-side metadata only, no Spark job. */
+  def flatFooterRowCount(dir: Path): Long = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(dir)) return 0L
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val s = Files.list(dir)
+    val parts = try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    finally s.close()
+    parts.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try rd.getRecordCount finally rd.close()
+    }.sum
+  }
+
   def footerRowCounts(outDir: Path): Map[Int, Long] = {
     import scala.jdk.CollectionConverters._
     if (!Files.isDirectory(outDir)) return Map.empty

@@ -90,6 +90,35 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(got == "redo")
   }
 
+  test("two first commits racing on an EMPTY table: overlap refuses, never composes") {
+    // the conflict window's lower bound is version 0 (no commits read),
+    // so the winner lands as log.head with NO retained predecessor —
+    // modifiedBucketsSince must still count the head's own buckets, or
+    // the loser's rewritten base pointer silently clobbers the winner's
+    val loc = tmpDir("occ-empty")
+    val a = new LakeTable(loc, numBuckets = 8)
+    val b = new LakeTable(loc, numBuckets = 8)
+    import spark.implicits._
+    def writeBase(version: Long, text: String) = {
+      val df = Seq(("c1", 0, text, version, s"e$version"))
+        .toDF("conv_id", "turn_idx", "text", "_txid", "_etag")
+      val rel = f"data/c$version%012d/_bucket=3"
+      df.coalesce(1).write.mode("overwrite").parquet(s"$loc/$rel")
+      (rel, df.schema)
+    }
+    val (relB, schema) = writeBase(1, "winner")
+    val (relA, _) = writeBase(2, "stale")
+    a.testBeforePublish = () =>
+      b.commit(schema, Map(3 -> Some(relB)), Map(3 -> 1L), 1L, -1L, Map.empty)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      a.commit(schema, Map(3 -> Some(relA)), Map(3 -> 1L), 2L, -1L, Map.empty)
+    }
+    assert(e.getMessage.contains("buckets 3"), e.getMessage)
+    val head = a.currentCommit().get
+    assert(head.version == 1L && head.buckets("3") == relB,
+      s"winner's base pointer must survive, head=$head")
+  }
+
   test("compaction racing the streaming tail's delta commit conflicts cleanly") {
     val (table, events) = seeded()
     val schema = table.currentCommit().get.schema

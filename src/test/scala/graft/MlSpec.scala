@@ -212,4 +212,29 @@ class MlSpec extends SparkSpec {
       assert(r.getAs[Long]("n_sampled_frames") == (nf + 23) / 24)
     }
   }
+
+  test("minhash signature: null shingle elements contribute the seed (HOF parity)") {
+    import spark.implicits._
+    // oracle = the retired higher-order-function formulation expressed
+    // with Spark built-ins: per j, min over elements of
+    // xxhash64(j, xxhash64(s)) — xxhash64(null) folds the seed (42), so
+    // arrays with containsNull=true must hash identically in both forms
+    val k = 8
+    val df = Seq(
+      Tuple1(Seq("a", "b", null, "c")),
+      Tuple1(Seq[String](null, null)),
+      Tuple1(Seq("x"))
+    ).toDF("shg")
+    val sig = graft.functions.MinHashSigExpr.minhashSig(col("shg"), k)
+    val rows = df.select(
+      (0 until k).map(j => sig.getItem(j).as(s"g$j")) ++
+      (0 until k).map(j => array_min(transform(col("shg"),
+        s => xxhash64(lit(j), xxhash64(s)))).as(s"o$j")): _*).collect()
+    rows.foreach { r =>
+      (0 until k).foreach { j =>
+        assert(r.getAs[Long](s"g$j") == r.getAs[Long](s"o$j"),
+          s"j=$j: native ${r.getAs[Long](s"g$j")} != oracle ${r.getAs[Long](s"o$j")}")
+      }
+    }
+  }
 }
