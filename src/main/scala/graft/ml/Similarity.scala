@@ -156,18 +156,25 @@ object Similarity {
     * makes the output EXACTLY the exhaustive all-pairs answer at
     * `maxHamming` ≤ 7 — q50 exploits that with the md5 fingerprint to
     * hash-match a DuckDB oracle. `fingerprint` swaps the simhash
-    * implementation (default: the native XXH64 expression). */
+    * implementation (default: the native XXH64 expression) and `evict`
+    * swaps the bucket-cap eviction key (default: Spark-internal
+    * xxhash64; q31 passes md5-of-id so an external oracle reproduces
+    * the CAPPED path bit-for-bit, eviction included). */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 7, maxBucket: Int = 128,
-      fingerprint: Column => Column = simhash64): DataFrame = {
+      fingerprint: Column => Column = simhash64,
+      evict: Column => Column = xxhash64(_)): DataFrame = {
     val hashed = df.select(col(idCol).as("_id"), fingerprint(col(textCol)).as("_sh"))
     val chunked = hashed.select(col("_id"),
         explode(transform(sequence(lit(0), lit(7)),
           c => struct(c.as("chunk"),
             call_function("shiftright", col("_sh"), c * 8).bitwiseAND(0xFFL).as("key")))).as("b"))
       .select(col("_id"), col("b.chunk"), col("b.key"))
-    val wB = Window.partitionBy("chunk", "key").orderBy(xxhash64(col("_id")))
+    // the id tiebreak makes eviction deterministic even under (however
+    // unlikely) eviction-key collisions
+    val wB = Window.partitionBy("chunk", "key")
+      .orderBy(evict(col("_id")), col("_id"))
     val capped = chunked.withColumn("_rn", row_number().over(wB))
       .where(col("_rn") <= maxBucket).drop("_rn")
     val l = capped.select(col("chunk"), col("key"), col("_id").as("id_a"))

@@ -108,7 +108,8 @@ object Vectors {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 8, tables: Int = 8, maxBucket: Int = 1024,
-      bucketer: Column => Column = null): DataFrame = {
+      bucketer: Column => Column = null,
+      evict: Column => Column = xxhash64(_)): DataFrame = {
     val mkBuckets: Column => Column =
       if (bucketer != null) bucketer else lshBuckets(_, planes, tables)
     def bucketed(df: DataFrame, id: String, vec: String) =
@@ -116,7 +117,11 @@ object Vectors {
         .select(col(id), col("b.tbl"), col("b.bkt"))
     val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val wB = Window.partitionBy("tbl", "bkt").orderBy(xxhash64(col("corpus_id")))
+    // `evict` swaps the cap's eviction key (default Spark-internal
+    // xxhash64; q34 passes md5-of-id so its oracle reproduces the cap);
+    // the id tiebreak makes eviction deterministic under key collisions
+    val wB = Window.partitionBy("tbl", "bkt")
+      .orderBy(evict(col("corpus_id")), col("corpus_id"))
     val c = bucketed(cv, "corpus_id", "cv")
       .withColumn("_rn", row_number().over(wB))
       .where(col("_rn") <= maxBucket).drop("_rn")
@@ -215,6 +220,101 @@ object Vectors {
     val probed = qv.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("cluster"),
         dot(col("qu"), col("centroid")).as("sim"))
+      .withColumn("__r", row_number().over(wq)).where(col("__r") <= nProbe)
+      .select("query_id", "qv", "cluster")
+    val scored = index.join(broadcast(probed), Seq("cluster"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("cv"), col("qv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    Similarity.materializeAndRelease(
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k),
+      cv)
+  }
+
+  /** IVF ANN with INTEGER-EXACT Lloyd refinement — the engine-portable
+    * twin of [[ivfTopK]] that an external SQL oracle can recompute
+    * bit-for-bit, k-means iterations INCLUDED (q47; [[ivfTopK]]'s float
+    * spherical k-means stays the engine-internal path, its seed/probe
+    * semantics pinned by q52 at iters=0):
+    *
+    *  - vectors are L2-normalized then QUANTIZED to round(u*1000)
+    *    longs, so every Lloyd quantity is integer arithmetic;
+    *  - a centroid is kept as its members' (elementwise long sum S,
+    *    count c) — never divided — and assignment minimizes the exact
+    *    squared Euclidean distance to the mean S/c:
+    *    cost = (c²·‖q‖² − 2c·⟨q,S⟩ + ‖S‖²) / c². The numerator and c²
+    *    are exact integers < 2^53 (dim 64, quant 1e3, corpus ≤ ~1e6
+    *    rows), so the one IEEE double division is identical in every
+    *    engine — no FP-summation-order hazard anywhere;
+    *  - seeds are the `nlist` md5-minimal corpus vectors (count 1), as
+    *    in [[ivfTopK]]'s portableSeeds mode; ties break on cluster id;
+    *  - probing ranks the final centroids by the same exact metric;
+    *    final scoring is exact cosine over the ORIGINAL vectors.
+    *
+    * Same distributed shape as [[ivfTopK]]: assignment broadcasts the
+    * tiny centroid set, the sum-update is one posexplode + groupBy pass
+    * per iteration, driver state is O(nlist×dim) longs. */
+  def ivfTopKPortable(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val unit = (v: Column) => transform(v, x => x.cast("double") / l2norm(v))
+    val quant = (u: Column) => transform(u, x => round(x * 1000).cast("long"))
+    val dotL = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        quant(unit(col(vecCol))).as("qz"))
+      .withColumn("qq", dotL(col("qz"), col("qz")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // centroid state: (cluster, S = elementwise member sum, c = count)
+    def centDf(cents: Seq[(Int, Seq[Long], Long)]): DataFrame =
+      spark.createDataset(cents).toDF("cluster", "S", "c")
+        .withColumn("ss", dotL(col("S"), col("S")))
+    // exact-integer cost, one deterministic double division at the end
+    def cost: Column =
+      (col("c") * col("c") * col("qq") - lit(2L) * col("c") * dotL(col("qz"), col("S"))
+        + col("ss")).cast("double") / (col("c") * col("c")).cast("double")
+    def assign(df: DataFrame, idC: String, cents: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .select(col(idC), col("cluster"), cost.as("_cost"))
+        .groupBy(idC)
+        .agg(min_by(col("cluster"), struct(col("_cost"), col("cluster"))).as("cluster"))
+
+    var centroids = centDf(
+      cv.withColumn("__h", md5(col("corpus_id").cast("string")))
+        .orderBy(col("__h"), col("corpus_id")).limit(nlist)
+        .select("qz").collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Long](0), 1L) }.toSeq)
+    (0 until iters).foreach { _ =>
+      val assigned = assign(cv, "corpus_id", centroids)
+      val sums = cv.join(assigned, Seq("corpus_id"))
+        .select(col("cluster"), posexplode(col("qz")))
+        .groupBy("cluster", "pos").agg(sum("col").as("s"), count(lit(1)).as("c"))
+        .groupBy("cluster")
+        .agg(map_from_arrays(collect_list("pos"), collect_list("s")).as("byPos"),
+          first("c").as("c"))
+        .collect()
+        .map { r =>
+          val m = r.getMap[Int, Long](1)
+          (r.getInt(0), (0 until m.keys.max + 1).map(m.getOrElse(_, 0L)).toSeq,
+            r.getLong(2))
+        }.toSeq
+      if (sums.nonEmpty) centroids = centDf(sums)
+    }
+
+    val index = cv.join(assign(cv, "corpus_id", centroids), Seq("corpus_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        quant(unit(col(vecCol))).as("qz"))
+      .withColumn("qq", dotL(col("qz"), col("qz")))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("_cost").asc, col("cluster").asc)
+    val probed = qv.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cluster"), cost.as("_cost"))
       .withColumn("__r", row_number().over(wq)).where(col("__r") <= nProbe)
       .select("query_id", "qv", "cluster")
     val scored = index.join(broadcast(probed), Seq("cluster"))

@@ -13,9 +13,12 @@ import graft.ml.{Multimodal, Similarity, Vectors}
   * queries run over `withMutants`: the corpus unioned with
   * deterministically mutated copies (one appended token) — every
   * mutant pair (id, id+100000) is a known near-dup the operators must
-  * find. Queries whose semantics aren't reasonably SQL-expressible
-  * (minhash/simhash banding) omit the oracle; their correctness is
-  * asserted structurally in MlSpec (known mutant pairs recovered).
+  * find. Every query carries a DuckDB oracle: the probabilistic
+  * operators run with engine-portable md5 fingerprints / bucketing /
+  * eviction keys on the query surface (Spark-internal xxhash64 stays
+  * the engine fast path), so the oracles recompute candidate
+  * generation, bucket caps and verification from scratch; MlSpec
+  * additionally property-tests the xxhash64 forms structurally.
   */
 object MlQueries {
   import Tables.t
@@ -57,10 +60,55 @@ object MlQueries {
         WHERE len(list_distinct(list_intersect(a.shg, b.shg))) * 2
           >= len(list_distinct(a.shg || b.shg))""")),
 
+    // SimHash near-dups — the PRODUCTION shape (8×8-bit pigeonhole
+    // blocking, maxBucket=128 cap with hash-ordered eviction), oracled
+    // end to end: the query surface defaults to the portable md5
+    // fingerprint and md5-of-id eviction key, so the DuckDB oracle
+    // recomputes fingerprints, chunk blocking, the CAP ITSELF (same
+    // row_number-over-eviction-key semantics) and the hamming verify
+    // from scratch. The XXH64 fingerprint stays available as the
+    // engine-internal fast path (Similarity.simhash64 default).
     QueryDef("q31_simhash_neardups",
       (s, d) => Similarity.simhashNearDups(
-        withMutants(t(s, d, "documents")), "doc_id", "text", maxHamming = 7),
-      None),
+        withMutants(t(s, d, "documents")), "doc_id", "text", maxHamming = 7,
+        fingerprint = Similarity.md5SimHash60,
+        evict = c => md5(c.cast("string"))),
+      Some("""WITH d AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text || ' mutated' AS text FROM documents
+        ), th AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+                FROM d)
+        ), bits AS (
+          SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th, (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b
+        ), fp AS (
+          SELECT d.doc_id,
+            CAST(coalesce(sum(CASE WHEN bits.v > 0 THEN (1::BIGINT << bits.b) ELSE 0 END), 0) AS BIGINT) AS f
+          FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id GROUP BY d.doc_id
+        ), ch AS (
+          SELECT doc_id, c AS chunk, (f >> (c * 8)) & 255 AS key
+          FROM fp, (SELECT unnest(range(8)) AS c)
+        ), capped AS (
+          SELECT doc_id, chunk, key FROM (
+            SELECT doc_id, chunk, key, row_number() OVER (
+                PARTITION BY chunk, key
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM ch) WHERE rn <= 128
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM capped a JOIN capped b ON a.chunk = b.chunk AND a.key = b.key
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+          CAST(bit_count(xor(fa.f, fb.f)) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN fp fa ON fa.doc_id = c.id_a
+        JOIN fp fb ON fb.doc_id = c.id_b
+        WHERE bit_count(xor(fa.f, fb.f)) <= 7""")),
 
     // SimHash EXHAUSTIVE parity: same banding+verify operator, but (a)
     // the bucket cap is lifted, so the 8×8-bit pigeonhole guarantee
@@ -199,28 +247,131 @@ object MlQueries {
         SELECT query_id, corpus_id, rank, round(cos_sim, 6) AS cos_sim_r
         FROM ranked WHERE rank <= 5""")),
 
-    // LSH-bucketed ANN — the scale path; structural check only
+    // LSH-bucketed ANN — the scale path, oracled WITH its bucket cap:
+    // the query surface defaults to the portable md5-sign bucketer and
+    // md5-of-id eviction, so the DuckDB oracle recomputes bucketing,
+    // the per-(table,bucket) corpus cap (row_number over the same
+    // eviction key; query side uncapped, exactly as the operator), the
+    // candidate union, exact cosine and ranking. q51 keeps the
+    // uncapped parity form; the xxhash64 bucketer remains the
+    // engine-internal fast path (lshBuckets default).
     QueryDef("q34_ann_lsh",
       (s, d) => {
         val e = t(s, d, "embeddings")
         Vectors.lshTopK(e, e.where(col("vec_id") < 3),
-            "vec_id", "embedding", k = 5, planes = 4, tables = 8)
+            "vec_id", "embedding", k = 5, planes = 4, tables = 8,
+            bucketer = Vectors.lshBucketsPortable(_, 4, 8, 64),
+            evict = c => md5(c.cast("string")))
           .select(col("query_id"), col("corpus_id"), col("rank"),
             round(col("cos_sim"), 6).as("cos_sim_r"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        z AS (SELECT vec_id, list_transform(v, x -> CAST(round(x*1000) AS BIGINT)) AS zv FROM e),
+        dims AS (SELECT unnest(range(64)) AS i),
+        tp AS (SELECT t, p FROM (SELECT unnest(range(8)) AS t), (SELECT unnest(range(4)) AS p)),
+        sgn AS (SELECT t, p, i,
+            CASE WHEN CAST(concat('0x', substr(md5(t || ':' || p || ':' || i), 1, 1)) AS INTEGER) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+          FROM tp, dims),
+        proj AS (SELECT z.vec_id, g.t, g.p, sum(z.zv[g.i + 1] * g.s) AS pr
+          FROM z, sgn g GROUP BY z.vec_id, g.t, g.p),
+        buck AS (SELECT vec_id, t,
+            sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bkt
+          FROM proj GROUP BY vec_id, t),
+        capped AS (SELECT vec_id, t, bkt FROM (
+            SELECT vec_id, t, bkt, row_number() OVER (
+                PARTITION BY t, bkt
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM buck) WHERE rn <= 1024),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+          FROM buck q JOIN capped c ON q.t = c.t AND q.bkt = c.bkt
+          WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+        scored AS (SELECT query_id, corpus_id,
+            list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+          FROM cand
+          JOIN e a ON a.vec_id = corpus_id
+          JOIN e b ON b.vec_id = query_id),
+        ranked AS (SELECT query_id, corpus_id, cos_sim,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, corpus_id, rank, round(cos_sim, 6) AS cos_sim_r
+        FROM ranked WHERE rank <= 5""")),
 
-    // IVF-bucketed ANN — the coarse-quantizer scale path (structural
-    // check: MlSpec asserts overlap vs brute force)
+    // IVF-bucketed ANN — the coarse-quantizer scale path, oracled with
+    // its k-means REFINEMENT included: the query surface runs the
+    // integer-exact portable twin (md5-minimal seeds, vectors quantized
+    // to round(u*1000) longs, Lloyd assignment by exact rational
+    // Euclidean cost — see Vectors.ivfTopKPortable), so the DuckDB
+    // oracle unrolls BOTH Lloyd iterations plus index/probe/rank from
+    // scratch with no FP-summation-order hazard. ivfTopK's float
+    // spherical k-means stays the engine-internal path (its seed/probe
+    // semantics pinned by q52 at iters=0, its refinement bounded by
+    // MlSpec/MlContainmentSpec).
     QueryDef("q47_ann_ivf",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        Vectors.ivfTopK(e, e.where(col("vec_id") < 3),
+        Vectors.ivfTopKPortable(e, e.where(col("vec_id") < 3),
             "vec_id", "embedding", k = 5, nlist = 16, nProbe = 6, iters = 2)
           .select(col("query_id"), col("corpus_id"), col("rank"),
             round(col("cos_sim"), 6).as("cos_sim_r"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nn AS (SELECT vec_id, v,
+            list_transform(v, x -> CAST(round(x / sqrt(list_dot_product(v, v)) * 1000) AS BIGINT)) AS qz
+          FROM e),
+        nq AS (SELECT vec_id, v, qz, list_dot_product(qz, qz) AS qq FROM nn),
+        dims AS (SELECT unnest(range(64)) AS i),
+        seeds AS (SELECT cluster, qz AS S, 1::BIGINT AS c,
+            list_dot_product(qz, qz) AS ss
+          FROM (SELECT qz, row_number() OVER (
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cluster
+            FROM nq) WHERE cluster < 16),
+        asn1 AS (SELECT vec_id, cluster FROM (
+            SELECT n.vec_id, s.cluster, row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY (s.c*s.c*n.qq - 2*s.c*list_dot_product(n.qz, s.S) + s.ss)
+                         / CAST(s.c*s.c AS DOUBLE) ASC, s.cluster ASC) AS r
+            FROM nq n, seeds s) WHERE r = 1),
+        agg1 AS (SELECT cluster, list(s ORDER BY i) AS S, any_value(cnt) AS c,
+            list_dot_product(list(s ORDER BY i), list(s ORDER BY i)) AS ss
+          FROM (SELECT a.cluster, d.i, sum(n.qz[d.i + 1]) AS s, count(*) AS cnt
+                FROM asn1 a JOIN nq n ON n.vec_id = a.vec_id, dims d
+                GROUP BY a.cluster, d.i)
+          GROUP BY cluster),
+        asn2 AS (SELECT vec_id, cluster FROM (
+            SELECT n.vec_id, s.cluster, row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY (s.c*s.c*n.qq - 2*s.c*list_dot_product(n.qz, s.S) + s.ss)
+                         / CAST(s.c*s.c AS DOUBLE) ASC, s.cluster ASC) AS r
+            FROM nq n, agg1 s) WHERE r = 1),
+        agg2 AS (SELECT cluster, list(s ORDER BY i) AS S, any_value(cnt) AS c,
+            list_dot_product(list(s ORDER BY i), list(s ORDER BY i)) AS ss
+          FROM (SELECT a.cluster, d.i, sum(n.qz[d.i + 1]) AS s, count(*) AS cnt
+                FROM asn2 a JOIN nq n ON n.vec_id = a.vec_id, dims d
+                GROUP BY a.cluster, d.i)
+          GROUP BY cluster),
+        idx AS (SELECT vec_id, cluster FROM (
+            SELECT n.vec_id, s.cluster, row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY (s.c*s.c*n.qq - 2*s.c*list_dot_product(n.qz, s.S) + s.ss)
+                         / CAST(s.c*s.c AS DOUBLE) ASC, s.cluster ASC) AS r
+            FROM nq n, agg2 s) WHERE r = 1),
+        probe AS (SELECT vec_id AS query_id, cluster FROM (
+            SELECT n.vec_id, s.cluster, row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY (s.c*s.c*n.qq - 2*s.c*list_dot_product(n.qz, s.S) + s.ss)
+                         / CAST(s.c*s.c AS DOUBLE) ASC, s.cluster ASC) AS r
+            FROM nq n, agg2 s WHERE n.vec_id < 3) WHERE r <= 6),
+        scored AS (SELECT p.query_id, a.vec_id AS corpus_id,
+            list_dot_product(cv.v, qv.v) /
+              (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS cos_sim
+          FROM probe p
+          JOIN idx a ON a.cluster = p.cluster
+          JOIN e cv ON cv.vec_id = a.vec_id
+          JOIN e qv ON qv.vec_id = p.query_id
+          WHERE a.vec_id <> p.query_id),
+        ranked AS (SELECT query_id, corpus_id, cos_sim, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, corpus_id, rank, round(cos_sim, 6) AS cos_sim_r
+        FROM ranked WHERE rank <= 5""")),
 
     // IVF ANN PARITY: the same ivfTopK operator with md5-ordered seed
     // centroids and ZERO Lloyd iterations, so the whole index/probe/

@@ -1127,9 +1127,6 @@ object LakeTable {
       n: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(conv), lit(n.toLong)).cast("int")
 
-  /** Per-bucket row counts from the parquet footers under a commit's
-    * data dir (driver-side metadata only; footer reads are O(KB) each,
-    * parallelized). Layout: `<dir>/_bucket=N/part-*.parquet`. */
   /** Footer row count of the part-*.parquet files DIRECTLY under
     * `dir` (no `_bucket=` partitioning) — the fallback truth source for
     * flat writes like [[graft.cdc.CdcOut]]'s pull dirs when the write
@@ -1151,6 +1148,9 @@ object LakeTable {
     }.sum
   }
 
+  /** Per-bucket row counts from the parquet footers under a commit's
+    * data dir (driver-side metadata only; footer reads are O(KB) each,
+    * parallelized). Layout: `<dir>/_bucket=N/part-*.parquet`. */
   def footerRowCounts(outDir: Path): Map[Int, Long] = {
     import scala.jdk.CollectionConverters._
     if (!Files.isDirectory(outDir)) return Map.empty
