@@ -101,5 +101,44 @@ object DumpQueries {
       },
       Some("""SELECT event_id, k AS v0, 'x' AS t1 FROM (
         SELECT event_id, CAST(json_extract_string(props,'$.k') AS INTEGER) AS k
-        FROM events) WHERE k BETWEEN 5 AND 15""")))
+        FROM events) WHERE k BETWEEN 5 AND 15""")),
+
+    // Moray-column precedence + revert (P2, lib/moraydump_reorg.js:
+    // 458-498 and the -r flag :86-90): the `_value` document carries an
+    // `_etag` key for EVEN event_ids only (to_json drops null struct
+    // fields, so odd rows have no key at all). Default precedence lets
+    // the present key shadow the top-level Moray `_etag`; revert
+    // restores the Moray value everywhere. Both modes of the same
+    // operator run in one query; the oracle recomputes each from the
+    // construction.
+    QueryDef("q57_reorg_precedence",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val asDump = ev.select(
+          col("event_id").cast("string").as("_id"),
+          lit("moray-etag").as("_etag"),
+          (unix_timestamp(col("ts")) * 1000).cast("string").as("_mtime"),
+          to_json(struct(
+            when(pmod(col("event_id"), lit(2L)) === 0,
+              concat(lit("value-etag-"), col("event_type"))).as("_etag"),
+            col("user_id"), col("event_type"))).as("_value"))
+        val targets = Seq("_etag", "user_id", "event_type")
+        val both = graft.operators.Reorg.flattenValues(asDump, targets)
+            .withColumn("mode", lit("default"))
+          .unionByName(
+            graft.operators.Reorg.flattenValues(asDump, targets, revert = true)
+              .withColumn("mode", lit("revert")))
+        both.groupBy(col("mode"), col("_etag").as("etag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("user_id").cast("long")).as("sum_uid"))
+      },
+      Some("""WITH dflt AS (
+          SELECT CASE WHEN event_id % 2 = 0 THEN 'value-etag-' || event_type
+                      ELSE 'moray-etag' END AS etag, user_id FROM events),
+        rev AS (SELECT 'moray-etag' AS etag, user_id FROM events)
+        SELECT 'default' AS mode, etag, count(*) AS n,
+          CAST(sum(user_id) AS BIGINT) AS sum_uid FROM dflt GROUP BY etag
+        UNION ALL
+        SELECT 'revert' AS mode, etag, count(*) AS n,
+          CAST(sum(user_id) AS BIGINT) AS sum_uid FROM rev GROUP BY etag""")))
 }

@@ -159,4 +159,30 @@ class JsonDumpSpec extends SparkSpec {
     // FK integrity: every _m._r_id resolves
     assert(mm.join(rr, Seq("_r_id"), "left_anti").count() == 0)
   }
+
+  test("reorg precedence: _value key shadows by default, revert restores Moray (P2)") {
+    import spark.implicits._
+    // three presence cases: key present with a value, key absent,
+    // key present with an EXPLICIT null (the reference's membership
+    // test never inspects the value, so an explicit null also shadows)
+    val df = Seq(
+      ("1", "m1", """{"_etag":"v1","extra":"e1"}"""),
+      ("2", "m2", """{"extra":"e2"}"""),
+      ("3", "m3", """{"_etag":null,"extra":"e3"}""")
+    ).toDF("_id", "_etag", "_value")
+    val targets = Seq("_etag", "extra")
+
+    val dflt = graft.operators.Reorg.flattenValues(df, targets)
+      .orderBy("_id").collect()
+    assert(dflt.map(_.getAs[String]("_etag")).toSeq == Seq("v1", "m2", null))
+    assert(dflt.map(_.getAs[String]("extra")).toSeq == Seq("e1", "e2", "e3"))
+
+    val rev = graft.operators.Reorg.flattenValues(df, targets, revert = true)
+      .orderBy("_id").collect()
+    assert(rev.map(_.getAs[String]("_etag")).toSeq == Seq("m1", "m2", "m3"))
+    assert(rev.map(_.getAs[String]("extra")).toSeq == Seq("e1", "e2", "e3"))
+
+    // _value is consumed; _id carries through; targets appear once
+    assert(dflt.head.schema.fieldNames.toSeq == Seq("_id", "_etag", "extra"))
+  }
 }
