@@ -6,20 +6,33 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video ride through the
   * pipeline as opaque `binary` columns with typed metadata structs.
   *
-  * The actual codec step is a STUB — no image/audio libraries exist in
-  * this container — implemented as a deterministic fake that derives
-  * plausible metadata from the bytes (clearly marked). Everything
-  * around it is real Spark plumbing: binary columns, struct schemas,
-  * explode-based frame sampling, partition-friendly batch shapes. A
-  * production deployment swaps `fakeDecode*` for a real codec behind
-  * the same column signatures (e.g. a mapInPandas/mapPartitions batch
-  * decoder), and none of the surrounding plan changes.
+  * IMAGE decode is REAL: [[decodeImage]] reads width/height/format
+  * from the blob's header via the JDK's own `javax.imageio`
+  * (PNG/JPEG/GIF/BMP — no external library), as a native codegen'd
+  * expression; [[synthImage]] renders real PNG/JPEG fixture bytes
+  * distributed, so tests and oracles know each image's true metadata
+  * from its id. AUDIO/VIDEO decode stays a documented deterministic
+  * STUB (the JDK ships no codec for those): `fakeDecode*` derives
+  * plausible metadata from the bytes, and a production deployment
+  * swaps it for a real codec behind the same column signatures
+  * without changing any surrounding plan.
   */
 object Multimodal {
 
   /** Wrap text content as a fake payload blob (test-fixture generator:
     * gives every row a binary column without external data). */
   def asBlob(content: Column): Column = encode(content, "UTF-8")
+
+  /** REAL image decode: header-only width/height/format via
+    * javax.imageio ([[graft.functions.ImageMetaExpr]]); null for
+    * undecodable bytes. Same struct shape as [[fakeDecodeImage]]. */
+  def decodeImage(blob: Column): Column =
+    graft.functions.ImageMetaExpr.imageMeta(blob)
+
+  /** REAL image fixture generator: deterministic w×h PNG/JPEG bytes
+    * ([[graft.functions.SynthImageExpr]]). */
+  def synthImage(w: Column, h: Column, fmt: Column): Column =
+    graft.functions.SynthImageExpr.synthImage(w, h, fmt)
 
   /** Deterministic hex slice of the blob's md5 as a long — the fake
     * codec's entropy source. md5-over-bytes is computable by any SQL

@@ -431,19 +431,28 @@ object MlQueries {
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
         FROM documents""")),
 
-    // multimodal: STUB decode + resize + frame sampling. The plumbing
-    // (binary column, struct metadata, explode-based frame rows) is the
-    // real Spark shape; the codec is a deterministic md5-derived fake,
-    // which makes every output value reproducible by the DuckDB oracle
-    // — decode, aspect-preserving resize arithmetic, and the stride-24
-    // frame-sample count all hash-checked.
+    // multimodal: REAL image decode + resize + frame sampling. Each
+    // doc gets a real PNG (even ids) or JPEG (odd ids) rendered
+    // distributed at dimensions derived from its id; the decode step
+    // reads width/height/format back from the actual image HEADER via
+    // javax.imageio (native expression, no pixel decode, no UDF). The
+    // oracle knows the true metadata from the id formula, so the
+    // decoder is checked against ground truth — decode, the
+    // aspect-preserving resize arithmetic (maxSide 48 exercises both
+    // the downscale and identity branches), and the stride-24 frame
+    // sampling (video decode stays the documented md5 stub over the
+    // text blob) all hash-checked.
     QueryDef("q36_multimodal_decode",
       (s, d) => {
-        val withBlob = t(s, d, "documents")
-          .select(col("doc_id"), Multimodal.asBlob(col("text")).as("blob"))
+        val withBlob = t(s, d, "documents").select(col("doc_id"),
+          Multimodal.synthImage(
+            (pmod(col("doc_id"), lit(64L)) + 16L).cast("int"),
+            (pmod(col("doc_id"), lit(48L)) + 16L).cast("int"),
+            when(pmod(col("doc_id"), lit(2L)) === 0, "png").otherwise("jpeg")).as("img"),
+          Multimodal.asBlob(col("text")).as("blob"))
         val withMeta = withBlob
-          .withColumn("meta", Multimodal.fakeDecodeImage(col("blob")))
-          .withColumn("resized", Multimodal.resizeMeta(col("meta"), 512))
+          .withColumn("meta", Multimodal.decodeImage(col("img")))
+          .withColumn("resized", Multimodal.resizeMeta(col("meta"), 48))
         val frames = Multimodal.sampleFrames(withBlob, "blob", "doc_id", stride = 24)
           .groupBy("doc_id").agg(count(lit(1)).as("n_sampled_frames"),
             max("n_frames").as("n_frames"))
@@ -454,14 +463,14 @@ object MlQueries {
             col("n_frames"), col("n_sampled_frames"))
       },
       Some("""WITH m AS (SELECT doc_id,
-          CAST(CAST(concat('0x', substr(md5(text),1,6)) AS BIGINT) % 1920 + 1 AS INTEGER) AS width,
-          CAST(CAST(concat('0x', substr(md5(text),7,6)) AS BIGINT) % 1080 + 1 AS INTEGER) AS height,
-          ['png','jpeg','webp'][CAST(CAST(concat('0x', substr(md5(text),13,6)) AS BIGINT) % 3 + 1 AS INTEGER)] AS format,
+          CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+          CAST(doc_id % 48 + 16 AS INTEGER) AS height,
+          CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
           CAST(CAST(concat('0x', substr(md5(text),19,6)) AS BIGINT) % 240 + 1 AS INTEGER) AS n_frames
           FROM documents)
         SELECT doc_id, width, height, format,
-          CAST(ceil(width * least(1.0, 512.0/greatest(width,height))) AS INTEGER) AS rw,
-          CAST(ceil(height * least(1.0, 512.0/greatest(width,height))) AS INTEGER) AS rh,
+          CAST(ceil(width * least(1.0, 48.0/greatest(width,height))) AS INTEGER) AS rw,
+          CAST(ceil(height * least(1.0, 48.0/greatest(width,height))) AS INTEGER) AS rh,
           n_frames, CAST((n_frames - 1) // 24 + 1 AS BIGINT) AS n_sampled_frames
         FROM m""")))
 }

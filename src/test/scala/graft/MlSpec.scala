@@ -237,4 +237,27 @@ class MlSpec extends SparkSpec {
       }
     }
   }
+
+  test("real image decode: javax.imageio reads back synthesized PNG/JPEG headers") {
+    import spark.implicits._
+    val df = Seq((1L, 20, 10, "png"), (2L, 33, 47, "jpeg")).toDF("id", "w", "h", "f")
+      .select(col("id"), col("w"), col("h"), col("f"),
+        Multimodal.synthImage(col("w"), col("h"), col("f")).as("img"))
+      .withColumn("meta", Multimodal.decodeImage(col("img")))
+      .withColumn("resized", Multimodal.resizeMeta(col("meta"), 16))
+    val rows = df.orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") == r.getAs[Int]("w"))
+      assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("height") == r.getAs[Int]("h"))
+      assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[String]("format") == r.getAs[String]("f"))
+      assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("n_bytes") ==
+        r.getAs[Array[Byte]]("img").length)
+      val rs = r.getAs[org.apache.spark.sql.Row]("resized")
+      assert(math.max(rs.getAs[Int]("width"), rs.getAs[Int]("height")) <= 17) // ceil rounds up
+    }
+    // undecodable bytes are data, not errors: meta is null
+    val bad = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("img")
+      .select(Multimodal.decodeImage(col("img")).as("meta")).head()
+    assert(bad.isNullAt(0))
+  }
 }
