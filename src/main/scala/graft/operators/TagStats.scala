@@ -49,6 +49,54 @@ object TagStats {
       s"stack(${tags.size}, $stacked) as (tag, d, m, u, ib)"))
   }
 
+  /** REAL Ib (A4): per-column (compressed, uncompressed) byte totals
+    * read from the parquet footers of a materialized write — the
+    * Spark-era equivalent of the reference's pbzip2-size measure
+    * (measure/jsonvalues.sh:18-24): the bytes each tag ACTUALLY
+    * occupies on disk under the lake format's own compression, not an
+    * estimate. Driver-side metadata only (O(KB) per footer), no extra
+    * Spark pass; the same footer-walk shape as
+    * [[graft.table.LakeTable.footerRowCounts]]. */
+  def compressedColumnBytes(dir: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    require(java.nio.file.Files.isDirectory(root), s"no parquet dir at $dir")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val s = java.nio.file.Files.list(root)
+    val parts = try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    finally s.close()
+    parts.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try rd.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        .map(c => (c.getPath.toDotString, c.getTotalSize,
+          c.getTotalUncompressedSize)).toList
+      finally rd.close()
+    }.groupBy(_._1)
+      .map { case (k, v) => k -> (v.map(_._2).sum, v.map(_._3).sum) }
+  }
+
+  /** Measure with REAL information bytes: one pass for D/M/U over the
+    * frame, one materialized columnar write of the measured tags, and
+    * the footer-read compressed totals as `ib`. The write is the only
+    * extra cost over [[measure]] — at corpus scale the caller usually
+    * ALREADY has the data as parquet (the lake table), in which case
+    * [[compressedColumnBytes]] over the existing files is free. */
+  def measureReal(df: DataFrame, tags: Seq[String], scratchDir: String): DataFrame = {
+    val spark = df.sparkSession
+    df.select(tags.map(c => col(c)): _*)
+      .write.mode("overwrite").parquet(scratchDir)
+    val real = compressedColumnBytes(scratchDir)
+    import spark.implicits._
+    val ibDf = tags.map(t => t -> real.getOrElse(t, (0L, 0L))._1)
+      .toDF("tag", "ib_real")
+    measure(df, tags).drop("ib")
+      .join(broadcast(ibDf), Seq("tag"))
+      .withColumnRenamed("ib_real", "ib")
+  }
+
   /** A7 stat export: the per-tag summary as one headered CSV (reference
     * measure/json_summary.sh:15-34 pastes per-tag stat files into
     * `table.csv`; here it's a one-line write of the already-computed
@@ -57,16 +105,21 @@ object TagStats {
     stats.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
   /** Q-score + routing decision per tag (A6). The reference's Ib is the
-    * pbzip2-compressed byte size; the portable stand-in is a dictionary-
-    * compression estimate from the same stats: distinct-content bytes
-    * (u · avg value length) + code bytes (d · log2(u+1)/8). Repetitive
-    * columns collapse exactly as real compression would. */
-  def classify(stats: DataFrame, fd: Double = 0.15): DataFrame = {
+    * pbzip2-compressed byte size. With `realIb = true` the stats frame's
+    * `ib` already IS compressed on-disk bytes ([[measureReal]]) and is
+    * used directly; otherwise the portable stand-in is a dictionary-
+    * compression estimate from the single-pass stats: distinct-content
+    * bytes (u · avg value length) + code bytes (d · log2(u+1)/8).
+    * Repetitive columns collapse exactly as real compression would. */
+  def classify(stats: DataFrame, fd: Double = 0.15,
+      realIb: Boolean = false): DataFrame = {
     val d = greatest(col("d"), lit(1L)).cast("double")
     val sp = col("d").cast("double") / (col("d") + col("m")).cast("double")
     val cx = col("u").cast("double") / d
-    val ibComp = col("u").cast("double") * (col("ib").cast("double") / d) +
-      d * log2(col("u").cast("double") + 1.0) / 8.0
+    val ibComp =
+      if (realIb) col("ib").cast("double")
+      else col("u").cast("double") * (col("ib").cast("double") / d) +
+        d * log2(col("u").cast("double") + 1.0) / 8.0
     val q = log2(greatest(ibComp, lit(1.0)) * sp * cx)
     stats.select(col("tag"), col("d"), col("m"), col("u"), col("ib"),
       round(sp, 6).as("sp"), round(cx, 6).as("cx"),

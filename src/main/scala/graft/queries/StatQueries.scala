@@ -13,6 +13,12 @@ object StatQueries {
   private val eventTags = Seq("event_type", "value", "props")
   private val docTags = Seq("lang", "source", "text", "n_chars")
 
+  // FIXED scratch paths: the DuckDB oracles re-read these files via
+  // parquet_metadata(), so the location must be static SQL text (the
+  // Spark query runs first and overwrites; both stay inside the repo)
+  private val Q38ScratchDir = "/root/repo/target/scratch/q38-real-ib"
+  private val Q58ScratchDir = "/root/repo/target/scratch/q58-ib-footers"
+
   private def duckStats(table: String, tags: Seq[String]): String =
     tags.map { c =>
       s"""SELECT '$c' AS tag, count($c) AS d,
@@ -27,14 +33,29 @@ object StatQueries {
       (s, d) => TagStats.measure(t(s, d, "events"), eventTags),
       Some(duckStats("events", eventTags))),
 
+    // Q-score classification over REAL information bytes: Ib is the
+    // tags' actual compressed on-disk size — footer column-chunk totals
+    // of a materialized write at a FIXED path (the reference measures
+    // pbzip2-compressed size, measure/jsonvalues.sh:18-24) — and the
+    // oracle independently re-reads the same footers through DuckDB's
+    // parquet_metadata(), so Spark's extraction and the classify math
+    // are both checked against the on-disk truth. The dictionary-
+    // estimate mode stays available for single-pass measurement
+    // (classify(realIb = false), spec-covered in TagStatsSpec).
     QueryDef("q38_qscore_classify",
-      (s, d) => TagStats.classify(TagStats.measure(t(s, d, "documents"), docTags)),
-      Some(s"""WITH stats AS (${duckStats("documents", docTags)}),
+      (s, d) => TagStats.classify(
+        TagStats.measureReal(t(s, d, "documents"), docTags, Q38ScratchDir),
+        realIb = true),
+      Some(s"""WITH raw AS (${duckStats("documents", docTags)}),
+        fib AS (SELECT path_in_schema AS tag,
+            CAST(sum(total_compressed_size) AS BIGINT) AS rib
+          FROM parquet_metadata('$Q38ScratchDir/*.parquet') GROUP BY 1),
+        stats AS (SELECT raw.tag, d, m, u, fib.rib AS ib
+          FROM raw JOIN fib ON raw.tag = fib.tag),
         scored AS (SELECT tag, d, m, u, ib,
           CAST(d AS DOUBLE) / (d + m) AS sp,
           CAST(u AS DOUBLE) / greatest(CAST(d AS DOUBLE), 1.0) AS cx,
-          CAST(u AS DOUBLE) * (CAST(ib AS DOUBLE) / greatest(CAST(d AS DOUBLE), 1.0))
-            + greatest(CAST(d AS DOUBLE), 1.0) * log2(CAST(u AS DOUBLE) + 1.0) / 8.0 AS ib_comp
+          CAST(ib AS DOUBLE) AS ib_comp
           FROM stats)
         SELECT tag, d, m, u, ib,
           round(sp, 6) AS sp, round(cx, 6) AS cx, round(ib_comp, 3) AS ib_comp,
@@ -42,6 +63,26 @@ object StatQueries {
           CASE WHEN log2(greatest(ib_comp, 1.0) * sp * cx) > 0 THEN 'hct'
                WHEN sp < 0.15 THEN 'rtt' ELSE 'lct' END AS route
         FROM scored""")),
+
+    // footer-extraction parity: Spark's driver-side column-chunk walk
+    // vs DuckDB's parquet_metadata() over the SAME materialized files —
+    // both compressed and uncompressed totals must agree byte-for-byte
+    QueryDef("q58_parquet_ib_footers",
+      (s, d) => {
+        t(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("value"), col("props"))
+          .write.mode("overwrite").parquet(Q58ScratchDir)
+        val real = TagStats.compressedColumnBytes(Q58ScratchDir)
+        import s.implicits._
+        real.toSeq.sortBy(_._1)
+          .map { case (tag, (c, u)) => (tag, c, u) }
+          .toDF("tag", "ib_comp", "ib_unc")
+      },
+      Some(s"""SELECT path_in_schema AS tag,
+          CAST(sum(total_compressed_size) AS BIGINT) AS ib_comp,
+          CAST(sum(total_uncompressed_size) AS BIGINT) AS ib_unc
+        FROM parquet_metadata('$Q58ScratchDir/*.parquet')
+        GROUP BY 1""")),
 
     // JSONB containment `@>` over the simple object shape the demo
     // queries use (jsonbquery.md:270-306): props @> '{"k": 7}'
