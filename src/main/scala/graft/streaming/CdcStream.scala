@@ -419,6 +419,104 @@ object CdcStream {
       .start()
   }
 
+  /** Outcome of a quarantine [[redrive]]: `applied` survivors merged
+    * into the table (0 when none parsed, or when this redrive was a
+    * crash replay), `remaining` lines still unusable (preserved under
+    * `batch-N-remaining`), and the apply's stats when one ran. */
+  case class RedriveStats(
+      applied: Long, remaining: Long, stats: Option[graft.cdc.ApplyStats])
+
+  /** Re-ingest a quarantined batch with TODAY'S knowledge — the path
+    * back in that the reference's hand-patch workflow had
+    * (lib/json_tsv.js:382-418 hand-fixed corrupt dump lines and re-ran;
+    * README F10 replaces the kludges with quarantine, and this closes
+    * the loop):
+    *
+    *  1. the preserved raw lines are re-parsed under a FRESH inference
+    *     (lines that were corrupt only because the stream's cached
+    *     schema was narrower — since-evolved types, later-declared
+    *     fields — now parse; truly malformed JSON stays corrupt);
+    *  2. survivors that satisfy the event contract (_txid + conv_id
+    *     present) apply as a normal idempotent batch under the derived
+    *     identity (`<queryId>-redrive`, same batchId), so a crashed or
+    *     repeated redrive never double-applies, and per-key
+    *     last-writer-wins means a survivor whose key was updated by a
+    *     LATER live batch loses the merge exactly as a late event
+    *     should;
+    *  3. still-unusable lines move to `batch-N-remaining` (a NEW dir —
+    *     evidence is never edited in place) and the original batch dir
+    *     is deleted only after both steps, so a crash at any point
+    *     re-runs to the same state.
+    */
+  def redrive(
+      spark: SparkSession,
+      table: LakeTable,
+      queryId: String,
+      batchId: Long,
+      ignoreFields: Set[String] = Set.empty): RedriveStats = {
+    import java.nio.file.{Files, Paths}
+    val qroot = s"${table.location}/_quarantine/$queryId"
+    val qdir = Paths.get(s"$qroot/batch-$batchId")
+    require(Files.isDirectory(qdir), s"no quarantined batch at $qdir")
+    val preserved = spark.read.json(qdir.toString)
+    require(preserved.columns.contains("raw"),
+      s"$qdir is not a quarantine dir (no raw column)")
+    val rawLines = preserved
+      .select(col("raw"), col("_origin_dc"), col("_origin_file"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val inferred = StructType(spark.read.json(rawLines.select("raw")
+          .as[String](org.apache.spark.sql.Encoders.STRING)).schema
+        .fields.filterNot(_.name == "_corrupt_record"))
+      val contract = Seq("_txid", "conv_id").forall(inferred.fieldNames.contains)
+      val (nApplied, nRemaining, stats) =
+        if (!contract) {
+          // nothing here satisfies the event contract even under fresh
+          // inference: everything stays preserved (moved, not deleted)
+          rawLines.write.mode("overwrite")
+            .json(s"$qroot/batch-$batchId-remaining")
+          (0L, rawLines.count(), None)
+        } else {
+          val parseSchema = StructType(
+            inferred.fields :+ StructField(CorruptCol, StringType))
+          val parsed = rawLines.select(
+              from_json(col("raw"), parseSchema,
+                Map("columnNameOfCorruptRecord" -> CorruptCol)).as("e"),
+              col("raw"), col("_origin_dc"), col("_origin_file"))
+            .select(col("e.*"), col("raw"),
+              col("_origin_dc"), col("_origin_file"))
+          val usable = col(CorruptCol).isNull &&
+            col("_txid").isNotNull && col("conv_id").isNotNull
+          val events = normalize(
+            parsed.where(usable).drop(CorruptCol, "raw"))
+          val s = CdcApply.applyBatch(spark, table, events,
+            batchId = batchId, queryId = s"$queryId-redrive",
+            ignoreFields = ignoreFields,
+            extraMetrics = Map("redriveOf" -> batchId))
+          val remaining = parsed.where(!usable)
+            .select(col("raw"), col("_origin_dc"), col("_origin_file"))
+          val nRem = remaining.count()
+          if (nRem > 0)
+            remaining.write.mode("overwrite")
+              .json(s"$qroot/batch-$batchId-remaining")
+          (events.count(), nRem, Some(s))
+        }
+      // evidence fully accounted for (survivors in the table, the rest
+      // under -remaining): release the original batch dir LAST
+      deleteRecursively(qdir)
+      RedriveStats(nApplied, nRemaining, stats)
+    } finally rawLines.unpersist()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(p)) return
+    val s = Files.walk(p)
+    val all = try s.iterator().asScala.toList.reverse finally s.close()
+    all.foreach(Files.deleteIfExists(_))
+  }
+
   /** Tail the changelog until everything currently present is applied
     * (AvailableNow trigger), then return. Resume = call again with the
     * same checkpointDir after more files arrive. */

@@ -313,4 +313,63 @@ class CdcStreamSpec extends SparkSpec {
     assert(table.commitLog().exists(_.metrics.get("corruptRows").contains(2L)),
       "corruptRows metric missing from the commit log")
   }
+
+  test("quarantine redrive: merge-key type drift applied once fixed; garbage stays") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val events = Corpus.changeEvents(spark, 1200, nConvs = 25, maxTurns = 6)
+    val clean = events.where(col("_txid") <= 800L)
+    val drifted = events.where(col("_txid") > 800L)
+    val dir = tmpDir("redrive-log")
+    // segment 0: clean — the stream caches turn_idx as LONG
+    writeChangelog(dir, clean, Seq((1L, 800L)))
+    // segment 1: a buggy producer quotes turn_idx ("3" not 3). Merge
+    // keys never evolve (structural), so the live stream must
+    // quarantine every row of this batch rather than widen the key
+    CdcStream.writeSegment(
+      Corpus.shuffled(drifted.withColumn("turn_idx", col("turn_idx").cast("string"))),
+      s"$dir/chunk1")
+    // plus one truly malformed line in the same segment
+    Files.writeString(Paths.get(s"$dir/chunk1/zz-garbage.json"), "{not json\n")
+
+    val table = new LakeTable(tmpDir("redrive-table"), numBuckets = 8)
+    val ckpt = tmpDir("redrive-ckpt")
+    CdcStream.runOnce(spark, s"$dir/chunk*", table, ckpt, maxFilesPerTrigger = 1)
+    // pre-redrive: only the clean prefix applied; drift preserved
+    assertSameRows(finalPayload(table), Corpus.oracleFinalState(clean))
+    val queryId = CdcStream.queryIdFor(ckpt)
+    val qroot = Paths.get(s"${table.location}/_quarantine/$queryId")
+    // one quarantined batch per trigger file: the drifted segment and
+    // the garbage file landed in separate micro-batches
+    val batchIds = Files.list(qroot).iterator().asScala
+      .map(_.getFileName.toString).filter(_.matches("batch-\\d+"))
+      .map(_.stripPrefix("batch-").toLong).toList.sorted
+    assert(batchIds.size == 2, s"expected two quarantined batches, got $batchIds")
+
+    // redrive with today's knowledge: the quoted keys parse under fresh
+    // inference and cast back to ints; the garbage line stays preserved
+    val results = batchIds.map(b =>
+      b -> CdcStream.redrive(spark, table, queryId, b)).toMap
+    val nDrifted = drifted.count()
+    assert(results.values.map(_.applied).sum == nDrifted,
+      s"applied ${results.values.map(_.applied).sum} of $nDrifted")
+    assert(results.values.map(_.remaining).sum == 1L)
+    assertSameRows(finalPayload(table), Corpus.oracleFinalState(events))
+    val (garbageBatch, _) = results.find(_._2.remaining == 1L).get
+    batchIds.foreach { b =>
+      assert(!Files.exists(qroot.resolve(s"batch-$b")),
+        "original quarantine dir must be released after redrive")
+    }
+    val rem = spark.read.json(s"$qroot/batch-$garbageBatch-remaining")
+    assert(rem.select("raw").collect().map(_.getString(0)).toSeq == Seq("{not json"))
+
+    // a repeated redrive of the same batch must not double-apply: the
+    // original dir is gone, and the apply landed under the derived
+    // identity so even a manual re-apply is a recorded replay
+    val (appliedBatch, _) = results.find(_._2.applied > 0).get
+    assert(table.hasBatch(appliedBatch, s"$queryId-redrive"))
+    intercept[IllegalArgumentException] {
+      CdcStream.redrive(spark, table, queryId, appliedBatch)
+    }
+  }
 }
