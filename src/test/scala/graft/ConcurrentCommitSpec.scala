@@ -140,4 +140,77 @@ class ConcurrentCommitSpec extends SparkSpec {
       table.read(spark).select("conv_id", "turn_idx", "text"),
       Corpus.oracleFinalState(events).select("conv_id", "turn_idx", "text"))
   }
+
+  test("rebucket racing the tail: stream wins, rebucket refuses then retries") {
+    val (table, events) = seeded()
+    val v0 = table.currentCommit().get.version
+    val schema = table.currentCommit().get.schema
+    val tail = new LakeTable(table.location, numBuckets = 8)
+    // the tail lands a delta inside rebucket's publish window; rebucket
+    // rewrites EVERY bucket, so its retry must see the overlap and
+    // refuse — composing would resurrect the pre-delta bucket contents
+    val (relB, nB, convB, txB) = writeDelta(tail, v0 + 1, bucket = 4, "tail-won")
+    table.testBeforePublish = () =>
+      tail.commitDelta(schema, Map(4 -> (relB, nB)), txB, -1L, Map.empty)
+    intercept[java.util.ConcurrentModificationException] {
+      table.rebucket(spark, 16)
+    }
+    assert(table.effectiveNumBuckets == 8, "failed rebucket must not change layout")
+    // the retry re-reads the table INCLUDING the tail's delta and lands
+    val c = table.rebucket(spark, 16)
+    assert(c.metrics.get(LakeTable.NumBucketsKey).contains(16L))
+    assert(table.effectiveNumBuckets == 16)
+    val got = table.read(spark)
+      .where(col("conv_id") === convB && col("_txid") === txB)
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("tail-won"), s"tail's delta lost by rebucket retry: $got")
+    // no split hash space: every live base pointer comes from the
+    // rebucket commit's layout
+    val head = table.currentCommit().get
+    assert(head.deltas.isEmpty)
+    assert(head.buckets.keySet.forall(_.toInt < 16))
+    assert(head.buckets.values.forall(_.startsWith(f"data/c${c.version}%012d")))
+  }
+
+  test("rebucket wins mid-flight; the stream's replayed batch re-reads the new layout") {
+    val (table, events) = seeded()
+    val v0 = table.currentCommit().get.version
+    val schema = table.currentCommit().get.schema
+    val maintenance = new LakeTable(table.location, numBuckets = 8)
+    // the tail prepared a delta against the OLD 8-bucket layout;
+    // rebucket(16) lands first — the tail's commit must refuse (its
+    // bucket ids and dir keys mean nothing under the new layout)
+    val (relA, nA, _, txA) = writeDelta(table, v0 + 2, bucket = 1, "stale-layout")
+    table.testBeforePublish = () => { maintenance.rebucket(spark, 16); () }
+    intercept[java.util.ConcurrentModificationException] {
+      table.commitDelta(schema, Map(1 -> (relA, nA)), txA, -1L, Map.empty)
+    }
+    assert(table.effectiveNumBuckets == 16)
+    // checkpoint replay redoes the batch against the CURRENT snapshot:
+    // applyBatch hashes into the new 16-bucket space transparently
+    val replayRow = table.readBuckets(spark, Seq(3))
+      .orderBy("conv_id", "turn_idx").limit(1)
+      .withColumn("_txid", lit(table.txidWatermark + 1))
+      .withColumn("_op", lit("update"))
+      .withColumn("_etag", lit("replayed"))
+      .withColumn("text", lit("new-layout"))
+      .drop("_deleted")
+    CdcApply.applyBatch(spark, table, replayRow)
+    val conv = replayRow.select("conv_id").head().getString(0)
+    val got = table.read(spark).where(col("conv_id") === conv &&
+      col("_etag") === "replayed").select("text").head().getString(0)
+    assert(got == "new-layout")
+    // never a split hash space: all data reachable, buckets within the
+    // new layout, and the full resolved read still matches the oracle
+    // for every untouched key
+    val head = table.currentCommit().get
+    assert((head.buckets.keySet ++ head.deltas.keySet).forall(_.toInt < 16))
+    val turn = replayRow.select("turn_idx").head().getInt(0)
+    assertSameRows(
+      table.read(spark).where(!(col("conv_id") === conv && col("turn_idx") === turn))
+        .select("conv_id", "turn_idx", "text"),
+      Corpus.oracleFinalState(events)
+        .where(!(col("conv_id") === conv && col("turn_idx") === turn))
+        .select("conv_id", "turn_idx", "text"))
+  }
 }
