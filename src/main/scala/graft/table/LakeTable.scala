@@ -1134,18 +1134,20 @@ object LakeTable {
     * Driver-side metadata only, no Spark job. */
   def flatFooterRowCount(dir: Path): Long = {
     import scala.jdk.CollectionConverters._
-    if (!Files.isDirectory(dir)) return 0L
     val conf = new org.apache.hadoop.conf.Configuration()
-    val s = Files.list(dir)
-    val parts = try s.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toList
-    finally s.close()
-    parts.map { f =>
+    def one(f: Path): Long = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.toUri), conf)
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try rd.getRecordCount finally rd.close()
-    }.sum
+    }
+    if (Files.isRegularFile(dir)) return one(dir)
+    if (!Files.isDirectory(dir)) return 0L
+    val s = Files.list(dir)
+    val parts = try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    finally s.close()
+    parts.map(one).sum
   }
 
   /** Per-bucket row counts from the parquet footers under a commit's

@@ -45,6 +45,49 @@ object ScalingBench {
         sys.env.getOrElse("SPARK_GRAFT_SMJ", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    replayBench(spark, cpus, nEvents, nBatches, workDir)
+  }
+
+  /** MULTI-JVM variant: `local-cluster[workers, cores, memMB]` forks one
+    * EXECUTOR JVM per worker, each owning its heap and GC — the closest
+    * this box gets to the north rule's real N-vs-4N executor clusters
+    * (local[N] shares one heap across all "executors", so GC and
+    * allocator contention scale differently than a cluster's would).
+    * Executors are fresh JVMs, so they need the application classes and
+    * the JDK17 module opens passed explicitly. */
+  def runCluster(workers: Int, coresPerWorker: Int, memMB: Int,
+      nEvents: Long, nBatches: Int, workDir: String): RunResult = {
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val cpus = workers * coresPerWorker
+    val spark = SparkSession.builder()
+      .master(s"local-cluster[$workers,$coresPerWorker,$memMB]")
+      .appName(s"graft-cluster-${workers}x$coresPerWorker")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .config("spark.executor.memory", s"${memMB}m")
+      .config("spark.executor.extraClassPath",
+        "/root/repo/target/scala-2.13/classes")
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_SMJ", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    replayBench(spark, cpus, nEvents, nBatches, workDir)
+  }
+
+  private def replayBench(spark: SparkSession, cpus: Int, nEvents: Long,
+      nBatches: Int, workDir: String): RunResult = {
     val cpuListener = new CpuTimeListener
     spark.sparkContext.addSparkListener(cpuListener)
     if (sys.env.contains("SPARK_GRAFT_STAGES"))
@@ -225,6 +268,19 @@ object ScalingBench {
         f""""applied":${r.events},"secs":${r.secs}%.1f,""" +
         f""""applied_per_sec":${r.throughput}%.0f,""" +
         f""""cpu_secs":${r.cpuSecs}%.1f,"cpu_us_per_event":${r.cpuSecs * 1e6 / r.events}%.1f}""")
+    // multi-JVM: runMain ... cluster <workers> <coresPerWorker> [memMB] [nEvents] [nBatches]
+    case Some("cluster") =>
+      val w = args(1).toInt
+      val c = args(2).toInt
+      val mem = if (args.length > 3) args(3).toInt else 4096
+      val nEvents = if (args.length > 4) args(4).toLong else 16000000L
+      val nBatches = if (args.length > 5) args(5).toInt else 4
+      val r = runCluster(w, c, mem, nEvents, nBatches,
+        s"/root/repo/target/cluster-$w-$c-${System.nanoTime()}")
+      println(f"""{"bench":"cdc_cluster","workers":$w,"cores_per_worker":$c,""" +
+        f""""executor_mem_mb":$mem,"n_events":$nEvents,""" +
+        f""""secs":${r.secs}%.1f,"events_per_sec":${r.throughput}%.0f,""" +
+        f""""cpu_secs":${r.cpuSecs}%.1f,"events_per_cpu_sec":${r.perCpuThroughput}%.0f}""")
     case Some("single") =>
       val cpus = args(1).toInt
       val nEvents = if (args.length > 2) args(2).toLong else 2000000L
