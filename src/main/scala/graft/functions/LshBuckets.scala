@@ -36,7 +36,8 @@ import org.apache.spark.sql.types._
   * mandate adds on top of moray-etl-jsonb's content-hash dedup
   * (/root/reference/lib/moraydump_reorg.js:549-551).
   */
-case class LshBucketsExpr(child: Expression, planes: Int, tables: Int)
+case class LshBucketsExpr(child: Expression, planes: Int, tables: Int,
+    quantized: Boolean = false)
     extends UnaryExpression {
 
   require(planes >= 1 && planes <= 63, "planes must be in [1, 63]")
@@ -58,11 +59,12 @@ case class LshBucketsExpr(child: Expression, planes: Int, tables: Int)
   private def isFloat: Boolean = elemType == FloatType
 
   protected override def nullSafeEval(input: Any): Any =
-    LshBucketsExpr.buckets(input.asInstanceOf[ArrayData], planes, tables, isFloat)
+    LshBucketsExpr.buckets(input.asInstanceOf[ArrayData], planes, tables,
+      isFloat, quantized)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.LshBucketsExpr.buckets($c, $planes, $tables, $isFloat)")
+      s"graft.functions.LshBucketsExpr.buckets($c, $planes, $tables, $isFloat, $quantized)")
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
     copy(child = newChild)
@@ -100,37 +102,77 @@ object LshBucketsExpr {
       out
     })
 
-  /** Static entry point shared by interpreted eval and generated code. */
-  def buckets(vec: ArrayData, planes: Int, tables: Int, isFloat: Boolean): ArrayData = {
+  /** Half-away-from-zero rounding, matching Spark's round() (decimal
+    * HALF_UP) and DuckDB's round() on doubles — Java's Math.round alone
+    * rounds negative halves toward +inf. */
+  private def rnd(x: Double): Long =
+    if (x >= 0) Math.round(x) else -Math.round(-x)
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * `quantized` projects over round(x*1000) longs with INTEGER
+    * accumulation — sign decisions are exactly order-independent, so an
+    * external SQL oracle recomputing the projection in any summation
+    * order gets bit-identical buckets (q34/q51); the double path is the
+    * engine fast path (q43 near-dup defaults). */
+  def buckets(vec: ArrayData, planes: Int, tables: Int, isFloat: Boolean,
+      quantized: Boolean): ArrayData = {
     val dim = vec.numElements()
-    val v = new Array[Double](dim)
-    var i = 0
-    while (i < dim) {
-      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-      i += 1
-    }
     val s = signs(planes, tables, dim)
     val out = new Array[Long](tables)
-    var t = 0
-    while (t < tables) {
-      var key = 0L
-      var p = 0
-      while (p < planes) {
-        val base = ((t * planes) + p) * dim
-        var proj = 0.0
-        var j = 0
-        while (j < dim) { proj += v(j) * s(base + j); j += 1 }
-        if (proj >= 0) key |= (1L << p)
-        p += 1
+    if (quantized) {
+      val zv = new Array[Long](dim)
+      var i = 0
+      while (i < dim) {
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        zv(i) = rnd(x * 1000)
+        i += 1
       }
-      out(t) = key
-      t += 1
+      var t = 0
+      while (t < tables) {
+        var key = 0L
+        var p = 0
+        while (p < planes) {
+          val base = ((t * planes) + p) * dim
+          var proj = 0L
+          var j = 0
+          while (j < dim) {
+            proj += (if (s(base + j) > 0) zv(j) else -zv(j)); j += 1
+          }
+          if (proj >= 0) key |= (1L << p)
+          p += 1
+        }
+        out(t) = key
+        t += 1
+      }
+    } else {
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        i += 1
+      }
+      var t = 0
+      while (t < tables) {
+        var key = 0L
+        var p = 0
+        while (p < planes) {
+          val base = ((t * planes) + p) * dim
+          var proj = 0.0
+          var j = 0
+          while (j < dim) { proj += v(j) * s(base + j); j += 1 }
+          if (proj >= 0) key |= (1L << p)
+          p += 1
+        }
+        out(t) = key
+        t += 1
+      }
     }
     new GenericArrayData(out)
   }
 
   /** Column wrapper: array<long> of per-table bucket keys. */
-  def lshBucketKeys(vec: Column, planes: Int, tables: Int): Column =
+  def lshBucketKeys(vec: Column, planes: Int, tables: Int,
+      quantized: Boolean = false): Column =
     graftshim.toColumn(
-      LshBucketsExpr(graftshim.toExpression(vec), planes, tables))
+      LshBucketsExpr(graftshim.toExpression(vec), planes, tables, quantized))
 }

@@ -76,18 +76,17 @@ object Vectors {
         }
   }
 
-  def lshBucketsPortable(vec: Column, planes: Int, tables: Int, dim: Int): Column = {
-    val signs = portablePlaneSigns(planes, tables, dim)
-    val zv = transform(vec, x => round(x.cast("double") * 1000).cast("long"))
-    array((0 until tables).map { t =>
-      val bkt = (0 until planes).map { p =>
-        val s = typedLit(signs(t)(p))
-        when(aggregate(zip_with(zv, s, (x, y) => x * y), lit(0L), _ + _) >= 0,
-          lit(1L << p)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-      struct(lit(t).as("tbl"), bkt.as("bkt"))
-    }: _*)
-  }
+  /** Now the native expression's quantized mode (same md5 sign family,
+    * round(x*1000) longs, INTEGER projection accumulation — sign
+    * decisions exactly order-independent, so the SQL oracle recomputes
+    * them bit-for-bit). The previous higher-order-function formulation
+    * with typedLit sign arrays ran interpreted at ~tables×planes×dim
+    * expression-tree walks per row (~3 s of q34/q51's bench time). */
+  def lshBucketsPortable(vec: Column, planes: Int, tables: Int, dim: Int): Column =
+    transform(
+      graft.functions.LshBucketsExpr.lshBucketKeys(vec, planes, tables,
+        quantized = true),
+      (bkt, t) => struct(t.cast("int").as("tbl"), bkt.as("bkt")))
 
   /** ANN via multi-table random-hyperplane LSH for a SMALL query set:
     * bucket the corpus and queries with L independent plane sets; a
