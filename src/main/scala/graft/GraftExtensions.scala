@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{JsonContainsExpr, Md5SimHash60Expr, SimHash64Expr}
+import graft.functions.{ImageMetaExpr, JsonContainsExpr, Md5SimHash60Expr, MinHashSigExpr, SimHash64Expr, SynthImageExpr}
 import graft.table.LakeTable
 
 /** SQL surface for the engine, injected via the standard
@@ -16,7 +16,8 @@ import graft.table.LakeTable
   *   - the native Catalyst expressions become SQL functions —
   *     `graft_simhash64(text)`, `graft_md5_simhash60(text)`,
   *     `graft_jsonb_contains(doc, needle)` (the reference's `@>`
-  *     operator, /root/reference/docs/writeup.md JSONB query surface) —
+  *     operator, /root/reference/docs/writeup.md JSONB query surface),
+  *     `graft_minhash_sig(shingles, k)` and `graft_image_meta(blob)` —
   *     so `spark.sql` users get the same codegen'd hot path as the
   *     DataFrame API;
   *   - `SELECT ... FROM graft.`+"`/path/to/table`"+` resolves to the
@@ -56,6 +57,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"graft_jsonb_contains expects 2 arguments, got ${args.length}")
         JsonContainsExpr(args.head, args(1))
+      }))
+    ext.injectFunction(fn1("graft_image_meta",
+      classOf[ImageMetaExpr].getName, ImageMetaExpr(_)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_synth_image"),
+      new ExpressionInfo(classOf[SynthImageExpr].getName, "graft_synth_image"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_synth_image expects 3 arguments, got ${args.length}")
+        SynthImageExpr(args(0), args(1), args(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_minhash_sig expects 2 arguments, got ${args.length}")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_sig: k must be an integer literal, got $other")
+        }
+        MinHashSigExpr(args.head, k)
       }))
     ext.injectResolutionRule(GraftTableResolution)
   }

@@ -36,7 +36,9 @@ class ExtensionsSpec extends SparkSpec {
         """SELECT graft_simhash64('hello world') AS sh,
           |       graft_md5_simhash60('hello') AS mh,
           |       graft_jsonb_contains('{"a": {"b": 1}}', '{"a": {}}') AS c1,
-          |       graft_jsonb_contains('{"a": 1}', '{"b": 1}') AS c2
+          |       graft_jsonb_contains('{"a": 1}', '{"b": 1}') AS c2,
+          |       graft_minhash_sig(array('a','b'), 4) AS sig,
+          |       graft_image_meta(graft_synth_image(20, 10, 'png')) AS meta
           |""".stripMargin).head()
       assert(r.getLong(0) ==
         graft.functions.SimHash64Expr.simhash(
@@ -45,6 +47,10 @@ class ExtensionsSpec extends SparkSpec {
         graft.functions.Md5SimHash60Expr.simhash(
           org.apache.spark.unsafe.types.UTF8String.fromString("hello")))
       assert(r.getBoolean(2) && !r.getBoolean(3))
+      assert(r.getSeq[Long](4).length == 4)
+      val meta = r.getStruct(5)
+      assert(meta.getAs[Int]("width") == 20 && meta.getAs[Int]("height") == 10 &&
+        meta.getAs[String]("format") == "png")
     }
   }
 
