@@ -357,4 +357,20 @@ class PlanSpec extends SparkSpec {
         s"$n uses a UDF:\n$p")
     }
   }
+
+  test("round-5 operators stay UDF-free: image codec, reorg precedence, footer ib") {
+    // q36 = synth + header decode (native expressions), q57 = the
+    // precedence flatten (json_object_keys/get_json_object projection),
+    // q58's Spark side is a driver-side footer read over its own write
+    Seq("q36_multimodal_decode", "q57_reorg_precedence").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+        s"$n uses a UDF:\n$p")
+    }
+    // the decode expression itself lives inside a WholeStageCodegen span
+    val p36 = planOf("q36_multimodal_decode")
+    assert(p36.contains("graft_image_meta") || p36.contains("ImageMeta") ||
+      p36.toLowerCase.contains("image_meta"),
+      s"q36 plan lost the native decode expression:\n$p36")
+  }
 }
