@@ -675,15 +675,8 @@ object CdcApply {
         skippedReplay = false, maxTx, touched.length)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.table.LakeTable.deleteRecursively(p)
 
   /** Replay a changelog in `nBatches` txid-ordered batches (batch-mode
     * equivalent of the streaming tail; used by tests and Verify). */

@@ -133,12 +133,6 @@ object CdcOut {
     orphans.foreach(deleteRecursively)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (!Files.exists(p)) return
-    val walk = Files.walk(p)
-    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.deleteIfExists(_))
-    finally walk.close()
-  }
+  private def deleteRecursively(p: Path): Unit =
+    LakeTable.deleteRecursively(p)
 }

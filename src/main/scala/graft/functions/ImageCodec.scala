@@ -81,7 +81,10 @@ object ImageMetaExpr {
         InternalRow(bytes.length, r.getWidth(0), r.getHeight(0),
           UTF8String.fromString(r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
       } finally r.dispose()
-    } catch { case _: Throwable => null }
+      // NonFatal only: an OOM or task-kill must FAIL the task (Spark
+      // retries it) — swallowing it to null would silently corrupt
+      // the batch's output
+    } catch { case scala.util.control.NonFatal(_) => null }
     finally if (iis != null) iis.close()
   }
 

@@ -56,33 +56,17 @@ object Vectors {
       graft.functions.LshBucketsExpr.lshBucketKeys(vec, planes, tables),
       (bkt, t) => struct(t.cast("int").as("tbl"), bkt.as("bkt")))
 
-  /** ENGINE-PORTABLE bucketing for the q51 parity oracle: the plane
-    * sign for (table, plane, dim) is the parity of the first hex digit
-    * of md5("t:p:i") — recomputable in any engine with md5 — and the
-    * projection runs over the embedding QUANTIZED to
-    * round(x*1000) longs, so the sign decision is integer-exact (no
-    * FP-summation-order hazard at proj ≈ 0). Signs are baked in as
-    * literal arrays (computed once on the driver with the same md5),
-    * so the per-row expression does no hashing. */
-  def portablePlaneSigns(planes: Int, tables: Int, dim: Int)
-      : IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    for (t <- 0 until tables) yield
-      for (p <- 0 until planes) yield
-        for (i <- 0 until dim) yield {
-          md.reset()
-          val d = md.digest(s"$t:$p:$i".getBytes("UTF-8"))
-          if ((((d(0) >> 4) & 0xF) % 2) == 0) 1L else -1L
-        }
-  }
-
-  /** Now the native expression's quantized mode (same md5 sign family,
-    * round(x*1000) longs, INTEGER projection accumulation — sign
-    * decisions exactly order-independent, so the SQL oracle recomputes
-    * them bit-for-bit). The previous higher-order-function formulation
-    * with typedLit sign arrays ran interpreted at ~tables×planes×dim
-    * expression-tree walks per row (~3 s of q34/q51's bench time). */
-  def lshBucketsPortable(vec: Column, planes: Int, tables: Int, dim: Int): Column =
+  /** ENGINE-PORTABLE bucketing for the q34/q51 oracles: the plane sign
+    * for (table, plane, dim) is the parity of the first hex digit of
+    * md5("t:p:i") — recomputable in any engine with md5 — and the
+    * projection runs over the embedding QUANTIZED to round(x*1000)
+    * longs with INTEGER accumulation, so the sign decision is exactly
+    * order-independent (no FP-summation hazard at proj ≈ 0). Runs as
+    * the native expression's quantized mode — one md5 sign family for
+    * the fast path and the portable path (the previous higher-order-
+    * function formulation with typedLit sign arrays ran interpreted at
+    * ~tables×planes×dim tree walks per row, ~3 s of q34/q51's bench). */
+  def lshBucketsPortable(vec: Column, planes: Int, tables: Int): Column =
     transform(
       graft.functions.LshBucketsExpr.lshBucketKeys(vec, planes, tables,
         quantized = true),
@@ -243,10 +227,15 @@ object Vectors {
     *  - a centroid is kept as its members' (elementwise long sum S,
     *    count c) — never divided — and assignment minimizes the exact
     *    squared Euclidean distance to the mean S/c:
-    *    cost = (c²·‖q‖² − 2c·⟨q,S⟩ + ‖S‖²) / c². The numerator and c²
-    *    are exact integers < 2^53 (dim 64, quant 1e3, corpus ≤ ~1e6
-    *    rows), so the one IEEE double division is identical in every
-    *    engine — no FP-summation-order hazard anywhere;
+    *    cost = (c²·‖q‖² − 2c·⟨q,S⟩ + ‖S‖²) / c². Every numerator term
+    *    is bounded by ~2·dim·quant²·c² (dim 64, quant 1e3 ⇒ 1.3e8·c²),
+    *    so exactness in IEEE doubles (< 2^53) holds while the LARGEST
+    *    CLUSTER stays ≤ ~8,000 members — enforced at run time below.
+    *    Inside that bound the one double division is identical in
+    *    every engine (no FP-summation-order hazard anywhere); beyond
+    *    it, use [[ivfTopK]] — this twin exists to be recomputable by
+    *    an external SQL oracle on bounded verification slices, exactly
+    *    like the other parity forms (q50/q51/q52 inputs);
     *  - seeds are the `nlist` md5-minimal corpus vectors (count 1), as
     *    in [[ivfTopK]]'s portableSeeds mode; ties break on cluster id;
     *  - probing ranks the final centroids by the same exact metric;
@@ -270,10 +259,19 @@ object Vectors {
       .withColumn("qq", dotL(col("qz"), col("qz")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // centroid state: (cluster, S = elementwise member sum, c = count)
-    def centDf(cents: Seq[(Int, Seq[Long], Long)]): DataFrame =
+    // centroid state: (cluster, S = elementwise member sum, c = count).
+    // The exactness envelope (every cost term < 2^53, see doc) needs
+    // max cluster size ≤ ~8k at dim 64 / quant 1e3 — refuse loudly
+    // rather than let Spark-vs-oracle parity decay silently
+    def centDf(cents: Seq[(Int, Seq[Long], Long)]): DataFrame = {
+      val cMax = cents.map(_._3).max
+      require(cMax <= 8000L,
+        s"ivfTopKPortable: a cluster holds $cMax members — beyond the " +
+          "integer-exactness envelope (~8k at dim 64, quant 1e3); use " +
+          "ivfTopK for corpora of this shape")
       spark.createDataset(cents).toDF("cluster", "S", "c")
         .withColumn("ss", dotL(col("S"), col("S")))
+    }
     // exact-integer cost, one deterministic double division at the end
     def cost: Column =
       (col("c") * col("c") * col("qq") - lit(2L) * col("c") * dotL(col("qz"), col("S"))

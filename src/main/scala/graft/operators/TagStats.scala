@@ -61,20 +61,11 @@ object TagStats {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
     require(java.nio.file.Files.isDirectory(root), s"no parquet dir at $dir")
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val s = java.nio.file.Files.list(root)
-    val parts = try s.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toList
-    finally s.close()
-    parts.flatMap { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.toUri), conf)
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try rd.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+    graft.table.LakeTable.withFooters(root) { rd =>
+      rd.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
         .map(c => (c.getPath.toDotString, c.getTotalSize,
           c.getTotalUncompressedSize)).toList
-      finally rd.close()
-    }.groupBy(_._1)
+    }.flatten.groupBy(_._1)
       .map { case (k, v) => k -> (v.map(_._2).sum, v.map(_._3).sum) }
   }
 

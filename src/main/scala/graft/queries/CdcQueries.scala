@@ -20,18 +20,26 @@ import graft.table.LakeTable
 object CdcQueries {
   import Tables.t
 
+  /** max(_txid) of the derived changelog WITHOUT a Spark job: _txid =
+    * event_id + 1, so the max is max(event_id)+1 read from the events
+    * table's parquet-footer COLUMN STATISTICS (driver-side metadata —
+    * removes the one-aggregate job each changelog query used to pay).
+    * Column stats, not the row count: the DuckDB oracles model the cut
+    * as (max(event_id)+1)/2, which equals the count only while ids are
+    * dense 0..n-1 — stats match the oracle's semantics at any id
+    * distribution. Footers without stats fall back to the real
+    * aggregate (correctness over the saved job). */
+  private def maxTxid(s: SparkSession, d: String): Long =
+    LakeTable.footerLongMax(
+        java.nio.file.Paths.get(s"$d/events.parquet"), "event_id")
+      .map(_ + 1L)
+      .getOrElse(asChangeEvents(s, d).agg(max(col("_txid"))).head().getLong(0))
+
   /** Map the driver's events table onto the change-event envelope.
     * turn_idx must be INJECTIVE in event_type — a collision would merge
     * two distinct (user_id, event_type) streams and silently diverge
     * from the oracle — so it's the dense rank of event_type over the
     * (tiny) distinct set, broadcast-joined back. */
-  /** max(_txid) of the derived changelog WITHOUT a Spark job: _txid =
-    * event_id + 1 and event_ids are 0..n-1, so the max is the events
-    * table's parquet-footer row count (driver-side metadata read —
-    * removes the one-aggregate job each changelog query used to pay). */
-  private def maxTxid(d: String): Long =
-    LakeTable.flatFooterRowCount(java.nio.file.Paths.get(s"$d/events.parquet"))
-
   def asChangeEvents(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, d, "events")
@@ -68,7 +76,7 @@ object CdcQueries {
       d: String): (LakeTable, Long, Long, Long) = {
     val (dir, v1, v2, cut) = changelogScratch.computeIfAbsent(d, _ => {
       val ev = asChangeEvents(s, d)
-      val cutTx = maxTxid(d) / 2
+      val cutTx = maxTxid(s, d) / 2
       val t = new LakeTable(scratch("cdflog-"), numBuckets = 16)
       CdcApply.applyBatch(s, t, ev.where(col("_txid") <= cutTx))
       val mid = t.currentCommit().get.version
@@ -266,7 +274,7 @@ object CdcQueries {
     QueryDef("q53_rename_evolution",
       (s, d) => {
         val ev = asChangeEvents(s, d)
-        val cut = maxTxid(d) / 2
+        val cut = maxTxid(s, d) / 2
         val table = new LakeTable(scratch("rename-"), numBuckets = 16)
         CdcApply.applyBatch(s, table, ev.where(col("_txid") <= cut))
         table.renameColumn("value", "score")

@@ -116,8 +116,9 @@ object MlQueries {
     // ≤ 7, and (b) the fingerprint's per-token hash is an md5 prefix,
     // which DuckDB recomputes bit-for-bit in SQL — so the probabilistic
     // operator's candidate generation + verification is hash-matched
-    // against an engine-independent exhaustive oracle. q31 keeps the
-    // production (XXH64-fingerprint, capped) form of the same operator.
+    // against an engine-independent exhaustive oracle. q31 runs the
+    // CAPPED form of the same operator (same md5 fingerprint since
+    // round 5; the XXH64 fast path keeps MlSpec structural coverage).
     // Like every exhaustive-parity check (q30/q32 oracles), the input
     // is a bounded slice — uncapped all-pairs on an unbounded corpus is
     // exactly what the production form exists to avoid.
@@ -215,7 +216,7 @@ object MlQueries {
         Vectors.lshTopK(e, e.where(col("vec_id") < 3),
             "vec_id", "embedding", k = 5, planes = 4, tables = 8,
             maxBucket = Int.MaxValue,
-            bucketer = Vectors.lshBucketsPortable(_, 4, 8, 64))
+            bucketer = Vectors.lshBucketsPortable(_, 4, 8))
           .select(col("query_id"), col("corpus_id"), col("rank"),
             round(col("cos_sim"), 6).as("cos_sim_r"))
       },
@@ -260,7 +261,7 @@ object MlQueries {
         val e = t(s, d, "embeddings")
         Vectors.lshTopK(e, e.where(col("vec_id") < 3),
             "vec_id", "embedding", k = 5, planes = 4, tables = 8,
-            bucketer = Vectors.lshBucketsPortable(_, 4, 8, 64),
+            bucketer = Vectors.lshBucketsPortable(_, 4, 8),
             evict = c => md5(c.cast("string")))
           .select(col("query_id"), col("corpus_id"), col("rank"),
             round(col("cos_sim"), 6).as("cos_sim_r"))

@@ -15,7 +15,12 @@ object StatQueries {
 
   // FIXED scratch paths: the DuckDB oracles re-read these files via
   // parquet_metadata(), so the location must be static SQL text (the
-  // Spark query runs first and overwrites; both stay inside the repo)
+  // Spark query runs first and overwrites; both stay inside the repo).
+  // CONSTRAINT: one harness at a time per repo — a second concurrent
+  // Verify over a DIFFERENT sf dir would overwrite these between this
+  // run's Spark write and its oracle read. That is already the repo's
+  // operating model (the sbt project lock serializes runs); a
+  // multi-tenant deployment would key the path by input fingerprint.
   private val Q38ScratchDir = "/root/repo/target/scratch/q38-real-ib"
   private val Q58ScratchDir = "/root/repo/target/scratch/q58-ib-footers"
 

@@ -499,7 +499,11 @@ object CdcStream {
           if (nRem > 0)
             remaining.write.mode("overwrite")
               .json(s"$qroot/batch-$batchId-remaining")
-          (events.count(), nRem, Some(s))
+          // a crash-replayed redrive (apply already committed under the
+          // derived identity) reports applied = 0, as documented — the
+          // survivors are in the table from the FIRST attempt, and a
+          // caller summing `applied` must not double-count them
+          ((if (s.skippedReplay) 0L else events.count()), nRem, Some(s))
         }
       // evidence fully accounted for (survivors in the table, the rest
       // under -remaining): release the original batch dir LAST
@@ -508,14 +512,8 @@ object CdcStream {
     } finally rawLines.unpersist()
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    import scala.jdk.CollectionConverters._
-    if (!Files.exists(p)) return
-    val s = Files.walk(p)
-    val all = try s.iterator().asScala.toList.reverse finally s.close()
-    all.foreach(Files.deleteIfExists(_))
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    LakeTable.deleteRecursively(p)
 
   /** Tail the changelog until everything currently present is applied
     * (AvailableNow trigger), then return. Resume = call again with the

@@ -1082,13 +1082,8 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
       !referenced.contains(name) &&
         name.stripPrefix("c").stripSuffix("d").toLongOption.exists(_ <= latest)
     }
-    deletable.foreach { name =>
-      val p = dataDir.resolve(name)
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally walk.close()
-    }
+    deletable.foreach(name =>
+      LakeTable.deleteRecursively(dataDir.resolve(name)))
     deletable.sorted
   }
 
@@ -1132,22 +1127,66 @@ object LakeTable {
     * flat writes like [[graft.cdc.CdcOut]]'s pull dirs when the write
     * job's Observation metric was elided by a statically-empty plan.
     * Driver-side metadata only, no Spark job. */
-  def flatFooterRowCount(dir: Path): Long = {
+  /** Depth-first recursive delete; silent no-op on a missing path —
+    * the one shared implementation for every crash-retry/GC cleanup. */
+  private[graft] def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    val conf = new org.apache.hadoop.conf.Configuration()
-    def one(f: Path): Long = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.toUri), conf)
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try rd.getRecordCount finally rd.close()
-    }
-    if (Files.isRegularFile(dir)) return one(dir)
-    if (!Files.isDirectory(dir)) return 0L
-    val s = Files.list(dir)
-    val parts = try s.iterator().asScala
+    if (!Files.exists(p)) return
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  /** The parquet part files under `path` (itself, if it IS a parquet
+    * file) — the shared listing for every driver-side footer walk. */
+  private[graft] def parquetParts(path: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isRegularFile(path)) return Seq(path)
+    if (!Files.isDirectory(path)) return Nil
+    val s = Files.list(path)
+    try s.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toList
     finally s.close()
-    parts.map(one).sum
+  }
+
+  /** Open each part's footer and fold `f` over the readers — the one
+    * shared open/close loop behind the row-count / column-bytes /
+    * column-stats helpers. */
+  private[graft] def withFooters[T](path: Path)(
+      f: org.apache.parquet.hadoop.ParquetFileReader => T): Seq[T] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    parquetParts(path).map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try f(rd) finally rd.close()
+    }
+  }
+
+  def flatFooterRowCount(dir: Path): Long =
+    withFooters(dir)(_.getRecordCount).sum
+
+  /** Max of a LONG column across `path`'s footer statistics — None when
+    * the path has no parts or any chunk lacks usable stats (the caller
+    * must then fall back to a real scan). Driver-side metadata only. */
+  def footerLongMax(path: Path, column: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val maxes = withFooters(path) { rd =>
+      rd.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == column)
+        .map { c =>
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) None
+          else st.genericGetMax match {
+            case l: java.lang.Long => Some(l.longValue())
+            case _ => None
+          }
+        }.toList
+    }.flatten
+    if (maxes.isEmpty || maxes.contains(None)) None
+    else Some(maxes.flatten.max)
   }
 
   /** Per-bucket row counts from the parquet footers under a commit's

@@ -98,13 +98,18 @@ object SkewBench {
         (batch(evU, tU, i, listen = false), batch(evH, tH, i, listen = true))
       }
       val uni = walls.map(_._1); val hot = walls.map(_._2)
+      // the listener bus delivers task-end events asynchronously: give
+      // in-flight events a moment to drain before reading the buffers
+      // (the appends themselves are synchronized per buffer)
+      Thread.sleep(2000)
       // straggler signature across the hot batches' stages: for stages
       // with real parallelism AND real per-task work (median ≥ 200 ms —
       // scheduler jitter dominates below that), the worst max/median
       // task-duration ratio; `any` includes the jittery small stages
       val ratios = listener.byStage.values.toSeq
+        .map(v => v.synchronized { v.toList })
         .filter(_.size >= 8)
-        .map { v => (median(v.map(_.toDouble).toSeq), v.max.toDouble) }
+        .map { v => (median(v.map(_.toDouble)), v.max.toDouble) }
       val heavy = ratios.collect { case (m, mx) if m >= 200.0 => mx / m }
       val any = ratios.collect { case (m, mx) if m > 0 && mx >= 200.0 => mx / m }
       val worst = if (heavy.isEmpty) 0.0 else heavy.max

@@ -99,7 +99,7 @@ class MlSpec extends SparkSpec {
 
   test("portable-bucket LSH ANN: partition-invariant, ranked, overlaps brute force") {
     val bucketer = (v: org.apache.spark.sql.Column) =>
-      Vectors.lshBucketsPortable(v, 4, 8, 64)
+      Vectors.lshBucketsPortable(v, 4, 8)
     def run(c: org.apache.spark.sql.DataFrame) =
       Vectors.lshTopK(c, c.where(col("vec_id") < 3), "vec_id", "embedding",
         k = 5, planes = 4, tables = 8, maxBucket = Int.MaxValue,
