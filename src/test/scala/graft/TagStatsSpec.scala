@@ -47,4 +47,27 @@ class TagStatsSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("tag") -> r.getAs[String]("route")).toMap
     assert(routeExact == routeApprox)
   }
+
+  test("footer helpers: row count, column-stats max, and the no-stats None") {
+    import graft.table.LakeTable
+    import spark.implicits._
+    val dir = tmpDir("footer-helpers")
+    Seq((7L, "a"), (3L, "bb"), (11L, "c"), (5L, "dd"))
+      .toDF("event_id", "s").repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    val p = java.nio.file.Paths.get(dir)
+    assert(LakeTable.flatFooterRowCount(p) == 4L)
+    // long column: max comes straight from the chunk statistics
+    assert(LakeTable.footerLongMax(p, "event_id").contains(11L))
+    // a non-long column's stats are not a usable long max -> None
+    // (callers must fall back to a real aggregate)
+    assert(LakeTable.footerLongMax(p, "s").isEmpty)
+    // absent column / absent path -> None, and a single FILE works too
+    assert(LakeTable.footerLongMax(p, "nope").isEmpty)
+    assert(LakeTable.footerLongMax(p.resolve("does-not-exist"), "event_id").isEmpty)
+    val part = java.nio.file.Files.list(p).iterator()
+    val one = Iterator.continually(part).takeWhile(_ => part.hasNext)
+      .map(_.next()).find(_.getFileName.toString.endsWith(".parquet")).get
+    assert(LakeTable.footerLongMax(one, "event_id").isDefined)
+  }
 }
