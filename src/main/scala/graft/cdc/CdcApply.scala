@@ -685,15 +685,27 @@ object CdcApply {
       table: LakeTable,
       events: DataFrame,
       nBatches: Int): Seq[ApplyStats] = {
-    val bounds = events.agg(min("_txid"), max("_txid")).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val bounds = events.agg(min("_txid"), max("_txid"), count(lit(1))).head()
+    val (lo, hi, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
     val step = math.max(1L, (hi - lo + nBatches) / nBatches)
+    // Per-batch path choice: the FIRST batch always takes the
+    // co-partitioned bulk path (the table is empty — nothing to gate
+    // against, and the pre-scan would be pure overhead); later batches
+    // small enough for the broadcast merge (estimated by even split)
+    // run with bucket pruning, so each lands as an O(batch)
+    // MERGE-ON-READ delta commit instead of a co-partitioned full
+    // rewrite — replay cost becomes O(events + one resolve at read)
+    // instead of O(nBatches × table). Bulk-sized batches keep the
+    // no-pre-scan co-partitioned path (the estimate only decides
+    // whether to pay the pre-scan; the apply still measures the exact
+    // batch count there before choosing the merge strategy).
+    val estBatch = n / math.max(1, nBatches)
     (0 until nBatches).map { i =>
       val from = lo + i * step
       val to = if (i == nBatches - 1) hi + 1 else math.min(lo + (i + 1) * step, hi + 1)
       applyBatch(spark, table,
         events.where(col("_txid") >= from && col("_txid") < to), batchId = -1L,
-        pruneBuckets = false)
+        pruneBuckets = i > 0 && estBatch <= BroadcastMergeMaxEvents)
     }
   }
 }

@@ -36,6 +36,23 @@ object Similarity {
     out
   }
 
+  /** Spread a tiny (few-split) input across the session's cores before
+    * compute-heavy per-row work: a sub-`maxPartitionBytes` corpus file
+    * scans as ONE partition, so the signature/shingle/quantize
+    * pipelines — the dominant per-row cost of every near-dup/ANN
+    * operator — serialize on a single core while the rest idle
+    * (measured: the whole 5 s shingle+MinHash pass of q30 at sf0.1 ran
+    * as one task; guide §2.5 "input skew... repartition immediately
+    * after the read"). No-op when the scan already has enough splits
+    * (the 100 TB case — inputs arrive in many file splits, so the
+    * exchange never fires at scale). Row placement is semantically
+    * irrelevant: every downstream operator keys on content, and the
+    * bucket-cap eviction orders are content-hash-based. */
+  private[ml] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
+  }
+
   /** Word n-gram shingles of a text column (distinct). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
@@ -83,7 +100,7 @@ object Similarity {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
-    val sigs = df.select(col(idCol).as("_id"),
+    val sigs = spread(df).select(col(idCol).as("_id"),
         shingles(col(textCol), shingleN).as("_shg"))
       .where(size(col("_shg")) > 0) // empty docs must not share a signature
       .select(col("_id"), minhashSignature(col("_shg"), k).as("_sig"))
@@ -165,7 +182,8 @@ object Similarity {
       maxHamming: Int = 7, maxBucket: Int = 128,
       fingerprint: Column => Column = simhash64,
       evict: Column => Column = xxhash64(_)): DataFrame = {
-    val hashed = df.select(col(idCol).as("_id"), fingerprint(col(textCol)).as("_sh"))
+    val hashed = spread(df)
+      .select(col(idCol).as("_id"), fingerprint(col(textCol)).as("_sh"))
     val chunked = hashed.select(col("_id"),
         explode(transform(sequence(lit(0), lit(7)),
           c => struct(c.as("chunk"),
@@ -226,7 +244,7 @@ object Similarity {
       shingleN: Int = 3, k: Int = 64, bands: Int = 32,
       threshold: (Int, Int) = (7, 10), maxBucket: Int = 64): DataFrame = {
     val (num, den) = threshold
-    val sh = df.select(col(idCol).as("_id"),
+    val sh = spread(df).select(col(idCol).as("_id"),
         shingles(col(textCol), shingleN).as("_shg"))
       .where(size(col("_shg")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

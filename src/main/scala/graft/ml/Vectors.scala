@@ -31,7 +31,8 @@ object Vectors {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val c = Similarity.spread(corpus)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("corpus_id") =!= col("query_id"))
@@ -98,7 +99,8 @@ object Vectors {
     def bucketed(df: DataFrame, id: String, vec: String) =
       df.select(col(id), explode(mkBuckets(col(vec))).as("b"))
         .select(col(id), col("b.tbl"), col("b.bkt"))
-    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val cv = Similarity.spread(corpus)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // `evict` swaps the cap's eviction key (default Spark-internal
     // xxhash64; q34 passes md5-of-id so its oracle reproduces the cap);
@@ -147,7 +149,7 @@ object Vectors {
     val spark = corpus.sparkSession
     import spark.implicits._
     val unit = (v: Column) => transform(v, x => x.cast("double") / l2norm(v))
-    val cv = corpus.select(col(idCol).as("corpus_id"),
+    val cv = Similarity.spread(corpus).select(col(idCol).as("corpus_id"),
         col(vecCol).as("cv"), unit(col(vecCol)).as("cu"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -254,7 +256,8 @@ object Vectors {
     val quant = (u: Column) => transform(u, x => round(x * 1000).cast("long"))
     val dotL = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
-    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+    val cv = Similarity.spread(corpus)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
         quant(unit(col(vecCol))).as("qz"))
       .withColumn("qq", dotL(col("qz"), col("qz")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -343,7 +346,7 @@ object Vectors {
       corpus: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, planes: Int = 12, tables: Int = 12,
       maxBucket: Int = 64): DataFrame = {
-    val v = corpus.select(col(idCol).as("_id"),
+    val v = Similarity.spread(corpus).select(col(idCol).as("_id"),
         transform(col(vecCol), _.cast("double")).as("_v"))
       .withColumn("_n", l2norm(col("_v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.functions._
 
 import graft.sources.MorayDump
@@ -12,11 +10,9 @@ import graft.sources.MorayDump
 object DumpQueries {
   import Tables.t
 
-  private def scratch(name: String): String = {
-    val base = Paths.get("/root/repo/target/scratch")
-    Files.createDirectories(base)
-    Files.createTempDirectory(base, name).toString
-  }
+  // tmpfs-backed per-run scratch (see Scratch): the dump/lineage dirs
+  // are rebuilt from the parquet inputs on every invocation
+  private def scratch(name: String): String = Scratch.dir(name)
 
   val defs: Seq[QueryDef] = Seq(
     // Moray dump round-trip: events rendered as a header+entry dump

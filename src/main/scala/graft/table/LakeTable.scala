@@ -567,8 +567,38 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
   }
 
 
+  /** Build `f`'s scans with file listing kept ON THE DRIVER: the
+    * engine's data dirs are a manifest-known layout (one `_bucket=N`
+    * dir per bucket, written by this table's own commits), so Spark's
+    * distributed listing job — launched whenever a read spans more
+    * than `parallelPartitionDiscovery.threshold` (default 32) paths —
+    * is pure overhead: ~0.1-0.6 s of job scheduling PER READ, growing
+    * with delta-stack depth (measured 0.7 s/batch of the steady-state
+    * CDC floor at depth 5), to list dirs the driver can stat in
+    * microseconds. Iceberg/Delta avoid the same cost by carrying file
+    * manifests; until commits track file names, driver-side listing
+    * of O(buckets × depth) dirs is the equivalent. Conf is restored
+    * after the scans are built (listing happens eagerly at
+    * `spark.read`); the engine's single-writer-per-session model (see
+    * commit()) makes the temporary session flip safe. */
+  private def withDriverListing[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "8192")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def readCommit(spark: SparkSession, c: Commit, buckets: Seq[Int],
-      resolve: Boolean = true, includeBase: Boolean = true): DataFrame = {
+      resolve: Boolean = true, includeBase: Boolean = true): DataFrame =
+    withDriverListing(spark) {
+      readCommitInner(spark, c, buckets, resolve, includeBase)
+    }
+
+  private def readCommitInner(spark: SparkSession, c: Commit, buckets: Seq[Int],
+      resolve: Boolean, includeBase: Boolean): DataFrame = {
     val base =
       if (includeBase) buckets.flatMap(b => c.buckets.get(b.toString)) else Nil
     // delta dirs are bucket-partitioned, so pruning is PATH selection —
