@@ -182,6 +182,16 @@ object CdcApply {
       maxDeltaDepth: Int = MaxDeltaDepth,
       foldRatio: Double = FoldToBaseRatio,
       prunedHint: Option[(Seq[Int], Long)] = None): ApplyStats = {
+    // env-gated phase timers (GRAFT_APPLY_DEBUG=1): decompose an
+    // apply's wall into prune/plan/write/footers/commit — the
+    // measurement tool behind the fixed-floor work (guide §1)
+    val dbg = sys.env.contains("GRAFT_APPLY_DEBUG")
+    var tLast = System.nanoTime()
+    def mark(label: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(f"APPLYDBG $label ${(now - tLast) / 1e9}%.3f s")
+      tLast = now
+    }
     val prev = table.currentCommit()
     val prevWm = prev.map(_.txidWatermark).getOrElse(0L)
     if (batchId >= 0 && table.hasBatch(batchId, queryId))
@@ -253,6 +263,7 @@ object CdcApply {
             skippedReplay = false, prevWm, 0)
         eAgg.getSeq[Int](0).sorted
     }
+    mark("prune")
 
     // 2. latest event wins per key within the batch (§2.8 semantics) as
     // a partial-aggregable max_by instead of a row_number window — the
@@ -400,10 +411,12 @@ object CdcApply {
             if (batchCount >= 0 && batchCount < ParallelDeltaWriteMinEvents)
               observed.coalesce(1)
             else observed
+          mark("deltaPlanBuild")
           arranged
             .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
             .write.mode("overwrite").partitionBy("_bucket")
             .parquet(deltaOutDir.toString)
+          mark("deltaWrite")
           // AQE may replace an all-stale (empty) winner subtree with an
           // empty relation, dropping the CollectMetrics node — a missing
           // metrics map therefore USUALLY means n=0, but never trust a
@@ -428,14 +441,17 @@ object CdcApply {
               skippedReplay = false, prevWm, 0)
           }
           val maxTx = math.max(prevWm, maxTxObs)
+          mark("deltaObs")
           val adds = LakeTable.footerRowCounts(deltaOutDir).map { case (b, cnt) =>
             b -> (s"$deltaRel/_bucket=$b", cnt)
           }
+          mark("deltaFooters")
           table.commitDelta(schema, adds, maxTx, batchId, Map(
             "events" -> n, "upserts" -> (n - nDel), "deletes" -> nDel,
             "bucketsTouched" -> touched.length.toLong,
             "deltaCommit" -> 1L, "deltaRows" -> n)
             ++ extraMetrics, queryId)
+          mark("deltaCommit")
           return ApplyStats(version, n, n - nDel, nDel,
             skippedReplay = false, maxTx, touched.length)
         }

@@ -48,13 +48,25 @@ object Similarity {
     * exchange never fires at scale). Row placement is semantically
     * irrelevant: every downstream operator keys on content, and the
     * bucket-cap eviction orders are content-hash-based. */
-  private[ml] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
   }
 
-  /** Word n-gram shingles of a text column (distinct). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles of a text column (distinct). Runs as the
+    * native codegen'd [[graft.functions.ShinglesExpr]] — the previous
+    * higher-order-function formulation (transform + slice + concat_ws
+    * + filter + array_distinct) evaluated interpreted at ~|tokens|
+    * expression-tree walks per row and was the single largest job of
+    * the q30/q32 bench wall; values are identical per row
+    * (ShinglesSpec asserts equality against the HOF form, whitespace
+    * edge cases included). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShinglesExpr.shingles(text, n)
+
+  /** The pre-round-6 HOF formulation, kept as the equivalence oracle
+    * for ShinglesSpec (never on a hot path). */
+  private[graft] def shinglesHof(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     array_distinct(filter(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),

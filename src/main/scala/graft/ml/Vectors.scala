@@ -12,15 +12,34 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Elementwise dot product of two array columns, folded in doubles. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Elementwise dot product of two array columns, folded in doubles.
+    * Native codegen'd ([[graft.functions.DotDoubleExpr]]): the HOF
+    * `aggregate(zip_with(...))` form ran interpreted at ~dim tree
+    * walks per row; the fold order (and so every IEEE bit) is
+    * unchanged — VectorMathSpec asserts exact-bits equality against
+    * the HOF forms, which stay below as the spec's oracle. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorMath.dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** One-pass native cosine — same three folds and the same final
+    * `dot / (sqrt(aa) * sqrt(bb))` operation order as the HOF form. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    graft.functions.VectorMath.cosine(a, b)
+
+  /** Pre-round-6 HOF formulations, kept as the equivalence oracles for
+    * VectorMathSpec (never on a hot path). */
+  private[graft] def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+  private[graft] def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
+  private[graft] def unitHof(v: Column): Column =
+    transform(v, x => x.cast("double") / sqrt(dotHof(v, v)))
+  private[graft] def unitQuantHof(v: Column): Column =
+    transform(unitHof(v), x => round(x * 1000).cast("long"))
+  private[graft] def dotLongHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * Queries are broadcast (small side); the corpus scan is one pass;
@@ -99,8 +118,11 @@ object Vectors {
     def bucketed(df: DataFrame, id: String, vec: String) =
       df.select(col(id), explode(mkBuckets(col(vec))).as("b"))
         .select(col(id), col("b.tbl"), col("b.bkt"))
-    val cv = Similarity.spread(corpus)
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    // NOT spread: the per-row work here is the native bucketer (µs/row)
+    // and cv is consumed twice without a persist, so a repartition
+    // would run twice and cost more than the single-split scan saves
+    // (measured: q34 1.0 s → 1.5 s with spread)
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // `evict` swaps the cap's eviction key (default Spark-internal
     // xxhash64; q34 passes md5-of-id so its oracle reproduces the cap);
@@ -148,7 +170,9 @@ object Vectors {
       portableSeeds: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val unit = (v: Column) => transform(v, x => x.cast("double") / l2norm(v))
+    // native one-pass normalizer: the HOF transform's lambda inlined
+    // the full l2norm fold PER ELEMENT — O(dim²) interpreted walks/row
+    val unit = (v: Column) => graft.functions.VectorMath.unit(v)
     val cv = Similarity.spread(corpus).select(col(idCol).as("corpus_id"),
         col(vecCol).as("cv"), unit(col(vecCol)).as("cu"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -252,13 +276,14 @@ object Vectors {
       nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val unit = (v: Column) => transform(v, x => x.cast("double") / l2norm(v))
-    val quant = (u: Column) => transform(u, x => round(x * 1000).cast("long"))
-    val dotL = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    // native one-pass normalize+quantize and exact long dot (HOF forms
+    // ran interpreted — the normalizer at O(dim²) walks per row); fold
+    // order and the round() rule are unchanged (VectorMathSpec)
+    val quantUnit = (v: Column) => graft.functions.VectorMath.unitQuant(v)
+    val dotL = (a: Column, b: Column) => graft.functions.VectorMath.dotLong(a, b)
     val cv = Similarity.spread(corpus)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-        quant(unit(col(vecCol))).as("qz"))
+        quantUnit(col(vecCol)).as("qz"))
       .withColumn("qq", dotL(col("qz"), col("qz")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -309,7 +334,7 @@ object Vectors {
 
     val index = cv.join(assign(cv, "corpus_id", centroids), Seq("corpus_id"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        quant(unit(col(vecCol))).as("qz"))
+        quantUnit(col(vecCol)).as("qz"))
       .withColumn("qq", dotL(col("qz"), col("qz")))
     val wq = Window.partitionBy("query_id")
       .orderBy(col("_cost").asc, col("cluster").asc)

@@ -33,7 +33,10 @@ object InferTypes {
     * their JSON-ish string forms, like the reference's line scanner. */
   def inferTable(df: DataFrame, columns: Seq[String]): Map[String, TypeState] = {
     val aggs = columns.map(c => typestate(col(c).cast("string")).as(c))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // spread a tiny single-split input before the per-row regex work
+    // (guide §2.5 input skew; the partial→final merge is a monoid —
+    // TypeStateSpec property — so partitioning cannot change the state)
+    val row = graft.ml.Similarity.spread(df).agg(aggs.head, aggs.tail: _*).head()
     columns.map { c =>
       val r = row.getStruct(row.fieldIndex(c))
       c -> TypeState(r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
