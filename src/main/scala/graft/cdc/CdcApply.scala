@@ -366,18 +366,72 @@ object CdcApply {
         // gate over the RAW physical rows (base + deltas, unresolved):
         // the broadcast inner join prunes to the batch's keys FIRST, so
         // the per-key max-txid aggregation runs on ≤ |winners|·depth
-        // rows instead of window-resolving the whole touched table
-        val rawKeys = align(table.readBuckets(spark, touched, resolve = false), schema)
-          .select((mergeKeys :+ col("_txid").as("__t_txid")): _*)
-        val wKeys = winnerRows.select(mergeKeys: _*)
-        val matched = rawKeys.join(broadcast(wKeys), Model.MergeKeys.toSeq)
-          .groupBy(mergeKeys: _*).agg(max(col("__t_txid")).as("__t_txid"))
-        val effectivePlan = winnerRows
-          .join(broadcast(matched), Model.MergeKeys.toSeq, "left")
-          .where(col("__t_txid").isNull || col("_txid") > col("__t_txid"))
-          .drop("__t_txid")
+        // rows instead of window-resolving the whole touched table.
+        // An EMPTY table has nothing to gate against — every winner
+        // takes effect, so the whole gate subtree (scan, broadcast,
+        // agg) is skipped rather than planned over an empty relation.
+        val effectivePlan =
+          if (prev.isEmpty) winnerRows
+          else {
+            val rawKeys = align(table.readBuckets(spark, touched, resolve = false), schema)
+              .select((mergeKeys :+ col("_txid").as("__t_txid")): _*)
+            val wKeys = winnerRows.select(mergeKeys: _*)
+            val matched = rawKeys.join(broadcast(wKeys), Model.MergeKeys.toSeq)
+              .groupBy(mergeKeys: _*).agg(max(col("__t_txid")).as("__t_txid"))
+            winnerRows
+              .join(broadcast(matched), Model.MergeKeys.toSeq, "left")
+              .where(col("__t_txid").isNull || col("_txid") > col("__t_txid"))
+              .drop("__t_txid")
+          }
 
-        if (foldBuckets.isEmpty && consBuckets.isEmpty) {
+        if (prev.isEmpty) {
+          // BOOTSTRAP fold — first commit of a broadcast-sized batch:
+          // every winner takes effect (nothing to gate against), so
+          // the base is written in ONE job with stats riding its
+          // Observation — no gate subtree, no persist, no separate
+          // stats job (the general fold branch pays all three). The
+          // table topology is unchanged: the first commit is a BASE,
+          // exactly as the maintenance policy (and its specs) expect.
+          val obs = new org.apache.spark.sql.Observation(s"boot-$version")
+          val observed = winnerRows
+            .observe(obs,
+              count(lit(1)).as("n"),
+              coalesce(sum(col("_deleted").cast("long")), lit(0L)).as("nDel"),
+              max(col("_txid")).as("maxTx"))
+            .withColumn("_bucket", col("__bkt"))
+            .drop("__bkt")
+          val arranged =
+            if (batchCount >= 0 && batchCount < ParallelDeltaWriteMinEvents)
+              observed.coalesce(1)
+            else observed
+          mark("bootPlanBuild")
+          arranged
+            .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
+            .write.mode("overwrite").partitionBy("_bucket")
+            .parquet(outDir.toString)
+          mark("bootWrite")
+          // same AQE empty-plan hazard handling as the delta branch
+          val m = obs.get
+          val (n, nDel, maxTxObs) =
+            if (m.get("n").exists(_ != null))
+              (m("n").asInstanceOf[Long],
+                m("nDel").asInstanceOf[Long],
+                Option(m("maxTx")).map(_.asInstanceOf[Long]).getOrElse(prevWm))
+            else if (LakeTable.footerRowCounts(outDir).isEmpty) (0L, 0L, prevWm)
+            else {
+              val r = spark.read.parquet(outDir.toString)
+                .agg(count(lit(1)), coalesce(sum(col("_deleted").cast("long")), lit(0L)),
+                  max(col("_txid"))).head()
+              (r.getLong(0), r.getLong(1), r.getLong(2))
+            }
+          if (n == 0L) {
+            deleteRecursively(outDir)
+            return ApplyStats(0L, 0, 0, 0,
+              skippedReplay = false, prevWm, 0)
+          }
+          (n, nDel, maxTxObs,
+            Map.empty[Int, (String, Long)], Map.empty[Int, (String, Long)])
+        } else if (foldBuckets.isEmpty && consBuckets.isEmpty) {
           // 4a-i. PURE DELTA commit — the steady-state fast path: the
           // gate, the effectiveness stats (Observation) and the write
           // run as ONE job — no persist, no separate stats job; a
@@ -605,6 +659,22 @@ object CdcApply {
         val bulkWinnerRows = bulkWinners.select(
           (alignWinnerCols(bulkWinners.columns.toSeq)
             :+ col("__bkt") :+ col("__slt")): _*)
+        val obs = new org.apache.spark.sql.Observation(s"apply-$version")
+        // An EMPTY table needs no merge: every winner takes effect, so
+        // the target scan and the full-outer join (which would still
+        // sort/probe the 1M-row winner side against an empty relation)
+        // are skipped — the first bulk load is exactly one shuffle and
+        // one write.
+        val merged = if (prev.isEmpty) {
+          bulkWinnerRows.select((schema.fieldNames.map(col).toSeq :+
+              col("__bkt").as("_bucket") :+
+              coalesce(col("_deleted"), lit(false)).as("__takeDel")): _*)
+            .observe(obs,
+              count(lit(1)).as("nEff"),
+              sum(col("__takeDel").cast("long")).as("nDel"),
+              max(col("_txid")).as("maxTx"))
+            .drop("__takeDel")
+        } else {
         // target side: its ONE exchange, on the same keys
         val tgtTagged = target
           .withColumn("__bkt", bktTag).withColumn("__slt", sltTag)
@@ -619,8 +689,7 @@ object CdcApply {
           else when(takeWinner, col(s"w.`${f.name}`"))
             .otherwise(col(s"t.`${f.name}`")).as(f.name)
         }
-        val obs = new org.apache.spark.sql.Observation(s"apply-$version")
-        val merged = joined.select((mergedCols.toSeq :+
+        joined.select((mergedCols.toSeq :+
             col("__bkt").as("_bucket") :+
             takeWinner.as("__take") :+
             (takeWinner && coalesce(col("w._deleted"), lit(false))).as("__takeDel") :+
@@ -630,6 +699,7 @@ object CdcApply {
             sum(col("__takeDel").cast("long")).as("nDel"),
             max(col("__takeTx")).as("maxTx"))
           .drop("__take", "__takeDel", "__takeTx")
+        }
         val sorted = merged
           .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
         // subset co-partitioning must be allowed at PLANNING time of

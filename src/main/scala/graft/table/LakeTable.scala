@@ -693,7 +693,13 @@ class LakeTable(val location: String, val numBuckets: Int = 64) {
     // keeps the aggregation's parallelism at numBuckets × SaltBuckets
     // (not numBuckets) and spreads a hot bucket's resolve across
     // SaltBuckets reducers instead of funneling it through one.
-    if (deltaDf.isEmpty || !resolve) combined
+    // A bucket with NO base and at most ONE delta dir cannot hold a
+    // duplicated key (each delta dir is one batch's per-key-unique
+    // winners; a consolidated dir is per-key resolved) — so a freshly
+    // bootstrapped delta-only table skips the resolve shuffle outright.
+    val resolveFree = base.isEmpty && buckets.forall(b =>
+      c.deltas.getOrElse(b.toString, Nil).size <= 1)
+    if (deltaDf.isEmpty || !resolve || resolveFree) combined
     else {
       val keys = graft.model.Model.MergeKeys
       val allCols = combined.columns.toSeq
