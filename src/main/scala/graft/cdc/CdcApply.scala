@@ -789,9 +789,21 @@ object CdcApply {
     (0 until nBatches).map { i =>
       val from = lo + i * step
       val to = if (i == nBatches - 1) hi + 1 else math.min(lo + (i + 1) * step, hi + 1)
-      applyBatch(spark, table,
-        events.where(col("_txid") >= from && col("_txid") < to), batchId = -1L,
-        pruneBuckets = i > 0 && estBatch <= BroadcastMergeMaxEvents)
+      if (i > 0 && estBatch <= BroadcastMergeMaxEvents)
+        // all-buckets hint with the estimated count: a replay batch of
+        // an evenly split changelog touches ~every bucket, so the
+        // per-batch prune pre-scan job would re-derive a set we
+        // already know a correct superset of. The estimate is safe:
+        // an empty range falls through to the write's n==0 no-commit
+        // path, and the count only steers the broadcast/coalesce
+        // thresholds (boundary fuzz, not correctness).
+        applyBatch(spark, table,
+          events.where(col("_txid") >= from && col("_txid") < to), batchId = -1L,
+          prunedHint = Some((0 until table.effectiveNumBuckets, math.max(1L, estBatch))))
+      else
+        applyBatch(spark, table,
+          events.where(col("_txid") >= from && col("_txid") < to), batchId = -1L,
+          pruneBuckets = false)
     }
   }
 }

@@ -22,14 +22,19 @@ object ProfileSteady {
       try { java.nio.file.Files.createDirectories(shm); shm.toString }
       catch { case _: Throwable => System.getProperty("java.io.tmpdir") }
     }
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B probe for the plan-string hypothesis (thread dumps showed
+    // generateTreeString hot on the driver): cap the eager plan
+    // description Spark renders per executed query
+    sys.env.get("GRAFT_MAXPLANSTR").foreach(v =>
+      builder.config("spark.sql.maxPlanStringLength", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // job-time listener: (jobId, description, wall ms)
