@@ -743,11 +743,12 @@ object CdcApply {
       // 6. lineage: per-bucket row counts straight from the parquet
       // footers of the just-written files — driver-side metadata reads,
       // no Spark job, no scheduling latency
+      mark("mergeWrite")
       val countsByBucket: Map[Int, Long] = LakeTable.footerRowCounts(outDir)
       val rewritten: Map[Int, Option[String]] = foldBuckets.map { b =>
         b -> (if (countsByBucket.contains(b)) Some(s"$rel/_bucket=$b") else None)
       }.toMap
-
+      mark("baseFooters")
       table.commit(schema, rewritten, countsByBucket, maxTx, batchId, Map(
         "events" -> nEff, "upserts" -> (nEff - nDeletes), "deletes" -> nDeletes,
         "bucketsTouched" -> touched.length.toLong,

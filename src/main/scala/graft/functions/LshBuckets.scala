@@ -25,9 +25,10 @@ import org.apache.spark.sql.types._
   * tight primitive multiply-add loop compiled into the stage.
   *
   * Sign rule: component (t, p, i) is +1 iff the first hex digit of
-  * md5("t:p:i") is even — the SAME rule as
-  * `Vectors.portablePlaneSigns`, so the production path and the
-  * engine-portable parity oracle (q51) draw planes from one family.
+  * md5("t:p:i") is even — the SAME rule the quantized mode exposed
+  * through `Vectors.lshBucketsPortable` uses, so the production path
+  * and the engine-portable parity oracle (q51) draw planes from one
+  * family.
   * Sign-random projections only need sign agreement between rows, not
   * Gaussian components, so any fixed deterministic draw is a valid LSH
   * family (Charikar hyperplane hashing).

@@ -436,8 +436,8 @@ object CdcStream {
     *     (lines that were corrupt only because the stream's cached
     *     schema was narrower — since-evolved types, later-declared
     *     fields — now parse; truly malformed JSON stays corrupt);
-    *  2. survivors that satisfy the event contract (_txid + conv_id
-    *     present) apply as a normal idempotent batch under the derived
+    *  2. survivors that satisfy the event contract (_txid + every
+    *     merge key present) apply as a normal idempotent batch under the derived
     *     identity (`<queryId>-redrive`, same batchId), so a crashed or
     *     repeated redrive never double-applies, and per-key
     *     last-writer-wins means a survivor whose key was updated by a
@@ -461,40 +461,74 @@ object CdcStream {
     val preserved = spark.read.json(qdir.toString)
     require(preserved.columns.contains("raw"),
       s"$qdir is not a quarantine dir (no raw column)")
+    // lineage under RESERVED names (__q_*) from here on: a quarantined
+    // payload whose JSON itself contains a field named raw /
+    // _origin_dc / _origin_file would otherwise collide with the
+    // `e.*` expansion below and make the batch un-redrivable
+    // (ambiguous-reference AnalysisException). Evidence files keep the
+    // original column names on disk, unchanged.
     val rawLines = preserved
-      .select(col("raw"), col("_origin_dc"), col("_origin_file"))
+      .select(col("raw").as("__q_raw"), col("_origin_dc").as("__q_dc"),
+        col("_origin_file").as("__q_file"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // evidence-format projection: back to the on-disk column names
+    def evidence(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("__q_raw").as("raw"), col("__q_dc").as("_origin_dc"),
+      col("__q_file").as("_origin_file"))
+    // restore a lineage column's public name for the apply — unless the
+    // payload itself carries that name (the collision this rename
+    // exists for), in which case the payload's own column wins and our
+    // copy is dropped
+    def restore(df: org.apache.spark.sql.DataFrame,
+        from: String, to: String) =
+      if (df.columns.contains(to)) df.drop(from)
+      else df.withColumnRenamed(from, to)
     try {
-      val inferred = StructType(spark.read.json(rawLines.select("raw")
+      val inferred = StructType(spark.read.json(rawLines.select("__q_raw")
           .as[String](org.apache.spark.sql.Encoders.STRING)).schema
         .fields.filterNot(_.name == "_corrupt_record"))
-      val contract = Seq("_txid", "conv_id").forall(inferred.fieldNames.contains)
+      // the contract needs EVERY merge key plus the version: a line
+      // without turn_idx used to slip past the _txid+conv_id check and
+      // crash the apply instead of staying preserved
+      val contract = (graft.model.Model.MergeKeys :+ "_txid")
+        .forall(inferred.fieldNames.contains)
       val (nApplied, nRemaining, stats) =
         if (!contract) {
           // nothing here satisfies the event contract even under fresh
           // inference: everything stays preserved (moved, not deleted)
-          rawLines.write.mode("overwrite")
+          evidence(rawLines).write.mode("overwrite")
             .json(s"$qroot/batch-$batchId-remaining")
           (0L, rawLines.count(), None)
         } else {
           val parseSchema = StructType(
             inferred.fields :+ StructField(CorruptCol, StringType))
           val parsed = rawLines.select(
-              from_json(col("raw"), parseSchema,
+              from_json(col("__q_raw"), parseSchema,
                 Map("columnNameOfCorruptRecord" -> CorruptCol)).as("e"),
-              col("raw"), col("_origin_dc"), col("_origin_file"))
-            .select(col("e.*"), col("raw"),
-              col("_origin_dc"), col("_origin_file"))
+              col("__q_raw"), col("__q_dc"), col("__q_file"))
+            .select(col("e.*"), col("__q_raw"),
+              col("__q_dc"), col("__q_file"))
           val usable = col(CorruptCol).isNull &&
             col("_txid").isNotNull && col("conv_id").isNotNull
+          // optional envelope columns the apply references
+          // unconditionally (_op for the delete test, _etag for the
+          // winner tiebreak): synthesize nulls when the preserved
+          // lines never carried them — null _op is an update, null
+          // _etag sorts lowest, both the documented late-event defaults
+          val withEnvelope = Seq("_op" -> "string", "_etag" -> "string")
+            .foldLeft(parsed.where(usable).drop(CorruptCol, "__q_raw")) {
+              case (df, (c, t)) =>
+                if (df.columns.contains(c)) df
+                else df.withColumn(c, lit(null).cast(t))
+            }
           val events = normalize(
-            parsed.where(usable).drop(CorruptCol, "raw"))
+            restore(restore(withEnvelope,
+              "__q_dc", "_origin_dc"), "__q_file", "_origin_file"))
           val s = CdcApply.applyBatch(spark, table, events,
             batchId = batchId, queryId = s"$queryId-redrive",
             ignoreFields = ignoreFields,
             extraMetrics = Map("redriveOf" -> batchId))
-          val remaining = parsed.where(!usable)
-            .select(col("raw"), col("_origin_dc"), col("_origin_file"))
+          val remaining = evidence(parsed.where(!usable))
           val nRem = remaining.count()
           if (nRem > 0)
             remaining.write.mode("overwrite")

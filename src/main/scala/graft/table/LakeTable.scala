@@ -1158,11 +1158,6 @@ object LakeTable {
       n: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(conv), lit(n.toLong)).cast("int")
 
-  /** Footer row count of the part-*.parquet files DIRECTLY under
-    * `dir` (no `_bucket=` partitioning) — the fallback truth source for
-    * flat writes like [[graft.cdc.CdcOut]]'s pull dirs when the write
-    * job's Observation metric was elided by a statically-empty plan.
-    * Driver-side metadata only, no Spark job. */
   /** Depth-first recursive delete; silent no-op on a missing path —
     * the one shared implementation for every crash-retry/GC cleanup. */
   private[graft] def deleteRecursively(p: Path): Unit = {
@@ -1200,6 +1195,11 @@ object LakeTable {
     }
   }
 
+  /** Footer row count of the part-*.parquet files DIRECTLY under
+    * `dir` (no `_bucket=` partitioning) — the fallback truth source for
+    * flat writes like [[graft.cdc.CdcOut]]'s pull dirs when the write
+    * job's Observation metric was elided by a statically-empty plan.
+    * Driver-side metadata only, no Spark job. */
   def flatFooterRowCount(dir: Path): Long =
     withFooters(dir)(_.getRecordCount).sum
 

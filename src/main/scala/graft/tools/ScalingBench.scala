@@ -76,8 +76,11 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.executor.memory", s"${memMB}m")
+      // executors must load the application classes; derive the path
+      // from the driver's own classpath so a moved build output
+      // (packaged jar, different Scala dir) cannot silently strand them
       .config("spark.executor.extraClassPath",
-        "/root/repo/target/scala-2.13/classes")
+        System.getProperty("java.class.path"))
       .config("spark.executor.extraJavaOptions", addOpens)
       .config("spark.sql.join.preferSortMergeJoin",
         sys.env.getOrElse("SPARK_GRAFT_SMJ", "true"))

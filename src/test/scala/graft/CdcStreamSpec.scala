@@ -372,4 +372,26 @@ class CdcStreamSpec extends SparkSpec {
       CdcStream.redrive(spark, table, queryId, appliedBatch)
     }
   }
+
+  test("redrive survives payloads whose fields collide with the lineage columns") {
+    import java.nio.file.{Files, Paths}
+    // a quarantined payload may itself contain fields named raw /
+    // _origin_dc / _origin_file; the e.* expansion used to collide with
+    // the evidence columns and make the batch un-redrivable (advice r5)
+    val table = new LakeTable(tmpDir("redrive-collide"), numBuckets = 4)
+    val qid = "qid-collide"
+    val qdir = Paths.get(s"${table.location}/_quarantine/$qid/batch-7")
+    Files.createDirectories(qdir)
+    val inner = """{\"_txid\":1,\"conv_id\":\"c1\",\"turn_idx\":0,""" +
+      """\"raw\":\"inner\",\"_origin_dc\":\"payload-dc\",\"text\":\"hello\"}"""
+    Files.writeString(qdir.resolve("part-0.json"),
+      s"""{"raw":"$inner","_origin_dc":"dc0","_origin_file":"f0"}\n""")
+    val r = CdcStream.redrive(spark, table, qid, 7L)
+    assert(r.applied == 1L && r.remaining == 0L)
+    val got = table.read(spark)
+      .select("conv_id", "turn_idx", "text").collect()
+    assert(got.length == 1 && got.head.getString(0) == "c1" &&
+      got.head.getString(2) == "hello")
+    assert(!Files.exists(qdir), "quarantine dir released after redrive")
+  }
 }
