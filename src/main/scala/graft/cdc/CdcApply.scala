@@ -790,17 +790,23 @@ object CdcApply {
     (0 until nBatches).map { i =>
       val from = lo + i * step
       val to = if (i == nBatches - 1) hi + 1 else math.min(lo + (i + 1) * step, hi + 1)
-      if (i > 0 && estBatch <= BroadcastMergeMaxEvents)
+      if (i > 0 && estBatch <= BroadcastMergeMaxEvents
+          && n <= 2 * BroadcastMergeMaxEvents)
         // all-buckets hint with the estimated count: a replay batch of
         // an evenly split changelog touches ~every bucket, so the
         // per-batch prune pre-scan job would re-derive a set we
-        // already know a correct superset of. The estimate is safe:
-        // an empty range falls through to the write's n==0 no-commit
-        // path, and the count only steers the broadcast/coalesce
-        // thresholds (boundary fuzz, not correctness).
+        // already know a correct superset of. The estimate is safe
+        // even under total txid-density skew: an empty range falls
+        // through to the write's n==0 no-commit path; the broadcast of
+        // winner keys is bounded by the WHOLE changelog, which the
+        // n ≤ 2×threshold guard caps at ~1M keys (tens of MB); and
+        // the hint count is floored at the parallel-write threshold so
+        // an under-estimate can never serialize a big delta through a
+        // single coalesced writer task.
         applyBatch(spark, table,
           events.where(col("_txid") >= from && col("_txid") < to), batchId = -1L,
-          prunedHint = Some((0 until table.effectiveNumBuckets, math.max(1L, estBatch))))
+          prunedHint = Some((0 until table.effectiveNumBuckets,
+            math.max(estBatch, ParallelDeltaWriteMinEvents))))
       else
         applyBatch(spark, table,
           events.where(col("_txid") >= from && col("_txid") < to), batchId = -1L,

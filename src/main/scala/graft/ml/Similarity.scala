@@ -50,7 +50,24 @@ object Similarity {
     * bucket-cap eviction orders are content-hash-based. */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
+    // estimate the scan's split count from file metadata instead of
+    // df.rdd.getNumPartitions: under AQE, building the RDD EXECUTES
+    // every intermediate query stage of a non-scan-shaped input (and
+    // always pays a discarded physical-planning pass). inputFiles is a
+    // driver-side walk of the already-built file index; each file is
+    // at least one split, plus one per maxPartitionBytes of it.
+    val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    if (files.isEmpty || files.length * 2 >= p) return df
+    val maxSplit = math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val totalBytes = files.map { f =>
+      try java.nio.file.Files.size(
+        java.nio.file.Paths.get(new java.net.URI(f).getPath))
+      catch { case _: Throwable => maxSplit } // unknown size: assume a full split
+    }.sum
+    val estSplits = math.max(files.length.toLong,
+      (totalBytes + maxSplit - 1) / maxSplit)
+    if (estSplits * 2 >= p) df else df.repartition(p)
   }
 
   /** Word n-gram shingles of a text column (distinct). Runs as the

@@ -251,8 +251,11 @@ object CdcQueries {
         // upsert), and the driver oracle hash-checks the VALUES.
         val (table, _, _, _) = changelogTable(s, d)
         val conv = "1"
+        // modulus from the table handle, not a literal — q48 must stay
+        // in lockstep with changelogTable's layout if it is ever tuned
         val bucket = s.range(1)
-          .select(pmod(xxhash64(lit(conv)), lit(16L)).cast("int"))
+          .select(pmod(xxhash64(lit(conv)),
+            lit(table.effectiveNumBuckets.toLong)).cast("int"))
           .head().getInt(0)
         table.readBuckets(s, Seq(bucket))
           .where(col("conv_id") === conv &&

@@ -508,8 +508,14 @@ object CdcStream {
               col("__q_raw"), col("__q_dc"), col("__q_file"))
             .select(col("e.*"), col("__q_raw"),
               col("__q_dc"), col("__q_file"))
-          val usable = col(CorruptCol).isNull &&
-            col("_txid").isNotNull && col("conv_id").isNotNull
+          // row-level contract mirrors the schema-level one: EVERY
+          // merge key non-null (a row missing turn_idx must stay
+          // preserved, not be upserted under a null key no well-formed
+          // event could ever address)
+          val usable = graft.model.Model.MergeKeys
+            .foldLeft(col(CorruptCol).isNull && col("_txid").isNotNull) {
+              (acc, k) => acc && col(k).isNotNull
+            }
           // optional envelope columns the apply references
           // unconditionally (_op for the delete test, _etag for the
           // winner tiebreak): synthesize nulls when the preserved

@@ -56,6 +56,8 @@ object ProfileSteady {
       }
     })
 
+    // same disk as the frozen bench's scratch (profiling fidelity);
+    // deleted at the end so repeated profiling runs cannot accumulate
     val scratch = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "profile-cdc-").toString
     graft.model.Corpus.changeEvents(spark, nEvents,
@@ -88,5 +90,6 @@ object ProfileSteady {
       }
     }
     spark.stop()
+    graft.table.LakeTable.deleteRecursively(java.nio.file.Paths.get(scratch))
   }
 }
