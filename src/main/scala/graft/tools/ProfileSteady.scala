@@ -34,6 +34,10 @@ object ProfileSteady {
     // description Spark renders per executed query
     sys.env.get("GRAFT_MAXPLANSTR").foreach(v =>
       builder.config("spark.sql.maxPlanStringLength", v))
+    // A/B probe: how much of the apply floor is AQE stage-by-stage
+    // execution (per-stage jobs + re-optimization between them)?
+    sys.env.get("GRAFT_AQE").foreach(v =>
+      builder.config("spark.sql.adaptive.enabled", v))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
